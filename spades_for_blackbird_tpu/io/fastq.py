@@ -1,0 +1,117 @@
+"""Host-side FASTA/FASTQ (optionally gzipped) -> padded code tensors.
+
+Replaces the reference's kseq-based read streams and binary read store
+(assembler/src/common/io/reads/fasta_fastq_gz_parser.hpp,
+io/reads/binary_converter.hpp:25): reads are parsed once on the host into
+dense uint8 code arrays ready for device transfer; re-streaming is just
+re-slicing the array.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io as _io
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops import dna
+
+
+@dataclass
+class ReadBatch:
+    """A batch of reads as padded device-ready tensors."""
+    codes: np.ndarray     # (R, L) uint8, INVALID_CODE padding
+    lengths: np.ndarray   # (R,) int32
+    names: list[str] | None = None
+
+    @property
+    def num_reads(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def max_len(self) -> int:
+        return self.codes.shape[1]
+
+
+def _open_text(path: str):
+    if str(path).endswith(".gz"):
+        return _io.TextIOWrapper(gzip.open(path, "rb"))
+    return open(path, "r")
+
+
+def read_sequences(path: str) -> tuple[list[str], list[str]]:
+    """Parse FASTA or FASTQ (.gz ok) -> (names, sequences)."""
+    names: list[str] = []
+    seqs: list[str] = []
+    with _open_text(path) as f:
+        first = f.read(1)
+        f.seek(0)
+        if first == ">":  # FASTA
+            cur: list[str] = []
+            for line in f:
+                line = line.rstrip()
+                if not line:
+                    continue
+                if line.startswith(">"):
+                    if cur:
+                        seqs.append("".join(cur))
+                        cur = []
+                    names.append(line[1:].split()[0] if len(line) > 1 else "")
+                else:
+                    cur.append(line)
+            if cur:
+                seqs.append("".join(cur))
+        elif first == "@":  # FASTQ
+            while True:
+                header = f.readline()
+                if not header:
+                    break
+                seq = f.readline().rstrip()
+                f.readline()  # '+'
+                f.readline()  # quality
+                names.append(header[1:].rstrip().split()[0])
+                seqs.append(seq)
+        elif first == "":
+            pass
+        else:
+            raise ValueError(f"{path}: not FASTA/FASTQ (starts with {first!r})")
+    return names, seqs
+
+
+def load_reads(path: str, max_len: int | None = None,
+               keep_names: bool = False) -> ReadBatch:
+    names, seqs = read_sequences(path)
+    codes, lengths = dna.encode_reads(seqs, max_len=max_len)
+    return ReadBatch(codes, lengths, names if keep_names else None)
+
+
+def load_paired_reads(left: str, right: str, max_len: int | None = None
+                      ) -> tuple[ReadBatch, ReadBatch]:
+    """Load a paired-end library (two mate files, same read count/order)."""
+    lb = load_reads(left, max_len=max_len)
+    rb = load_reads(right, max_len=max_len)
+    if lb.num_reads != rb.num_reads:
+        raise ValueError(
+            f"paired files disagree: {lb.num_reads} vs {rb.num_reads} reads")
+    L = max(lb.max_len, rb.max_len)
+    for b in (lb, rb):
+        if b.max_len < L:
+            pad = np.full((b.num_reads, L - b.max_len), dna.INVALID_CODE,
+                          dtype=np.uint8)
+            b.codes = np.concatenate([b.codes, pad], axis=1)
+    return lb, rb
+
+
+def concat_batches(batches: list[ReadBatch]) -> ReadBatch:
+    L = max(b.max_len for b in batches)
+    codes = []
+    for b in batches:
+        c = b.codes
+        if c.shape[1] < L:
+            pad = np.full((c.shape[0], L - c.shape[1]), dna.INVALID_CODE,
+                          dtype=np.uint8)
+            c = np.concatenate([c, pad], axis=1)
+        codes.append(c)
+    return ReadBatch(np.concatenate(codes, axis=0),
+                     np.concatenate([b.lengths for b in batches]))

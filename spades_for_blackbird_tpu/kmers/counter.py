@@ -1,0 +1,70 @@
+"""Canonical k-mer counting: reads -> sorted unique (k-mer, count) table.
+
+TPU-native equivalent of the reference's disk k-mer counting pipeline
+(assembler/src/common/utils/kmer_mph/kmer_index_builder.hpp:220-366 —
+bucket-split files, per-bucket sort, loser-tree merge) and its callers
+(common/stages/construction.cpp:218-247). One fused jit region: extract,
+canonicalize, sort, run-length reduce.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import dna, kmer, segments
+
+
+class KmerTable(NamedTuple):
+    """Sorted unique canonical k-mers with counts (padded ragged).
+
+    kmers: (N, W) uint32, lexicographically sorted; rows >= num scatter to
+      all-ones padding.
+    counts: (N,) int32.
+    num: () int32 number of real rows.
+    """
+    kmers: jax.Array
+    counts: jax.Array
+    num: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.kmers.shape[0]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def count_kmers(codes: jax.Array, lengths: jax.Array, k: int) -> KmerTable:
+    """Count canonical k-mers of a read batch (single shard)."""
+    canon, valid, _ = kmer.extract_canonical_kmers(codes, lengths, k)
+    W = canon.shape[-1]
+    flat = canon.reshape(-1, W)
+    flat_valid = valid.reshape(-1)
+    uniq, counts, num = segments.count_sorted(flat, flat_valid)
+    return KmerTable(uniq, counts.astype(jnp.int32), num)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def filter_min_count(table: KmerTable, min_count: jax.Array) -> KmerTable:
+    """Drop k-mers with count < min_count (keeps sort order)."""
+    keep = (table.counts >= min_count) & (
+        jnp.arange(table.capacity) < table.num)
+    num, (kmers, counts) = segments.compact(keep, table.kmers, table.counts)
+    # compact() zero-fills; restore all-ones padding so the table stays
+    # sorted-with-padding-last for binary search.
+    pad = jnp.arange(table.capacity) >= num
+    kmers = jnp.where(pad[:, None], jnp.uint32(0xFFFFFFFF), kmers)
+    return KmerTable(kmers, counts, num)
+
+
+def lookup(table: KmerTable, queries: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Find query k-mers (M, W) in the table.
+
+    Returns (idx (M,) int32 into table rows, found (M,) bool). Replaces the
+    reference's PHM lookup (utils/ph_map/perfect_hash_map.hpp:78).
+    """
+    idx = segments.searchsorted_rows(table.kmers, queries)
+    found = idx < table.num
+    return jnp.where(found, idx, 0), found
