@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Benchmark: canonical k-mer counting throughput on one TPU chip.
+
+North-star metric #1 (BASELINE.md): k-mers/s/chip for the counting engine
+that replaces the reference's disk k-mer counter
+(utils/kmer_mph/kmer_index_builder.hpp:220-366).
+
+Baseline estimate: the reference counts the isolate dataset's ~2.2e9
+(k+1)-mer instances inside its 8-minute 16-thread core run
+(/root/reference/README.md:119-128); attributing ~2 minutes to counting
+gives ~1.9e7 k-mers/s. ``vs_baseline`` = ours / that estimate.
+
+Runs on the default environment (real TPU chip via axon). Prints ONE JSON
+line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    from spades_for_blackbird_tpu.kmers import counter
+
+    k = 21
+    R, L = 65536, 150
+    rng = np.random.default_rng(0)
+    codes = jax.device_put(rng.integers(0, 4, (R, L), dtype=np.uint8))
+    lengths = jax.device_put(np.full((R,), L, dtype=np.int32))
+
+    @jax.jit
+    def step(c, l):
+        t = counter.count_kmers(c, l, k)
+        return t.num
+
+    step(codes, lengths).block_until_ready()  # compile + warmup
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        n = step(codes, lengths)
+    n.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+
+    kmers = R * (L - k + 1)
+    rate = kmers / dt
+    baseline = 1.9e7
+    print(json.dumps({
+        "metric": "kmer_count_throughput",
+        "value": round(rate, 1),
+        "unit": "kmers/s/chip",
+        "vs_baseline": round(rate / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

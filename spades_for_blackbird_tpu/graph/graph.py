@@ -1,0 +1,86 @@
+"""Condensed de Bruijn graph as flat arrays (the TPU "GraphCore").
+
+Replaces the reference's pointer-based conjugate multigraph
+(``GraphCore``/``PairedVertex``/``PairedEdge`` at
+assembler/src/common/assembly_graph/core/graph_core.hpp:116-330) with a
+relational edge table:
+
+- every edge is a unitig with an explicit packed sequence (ragged rows in
+  one flat code buffer),
+- vertices are *oriented k-mer ids*: ``2*vidx + (0 if forward else 1)``
+  where ``vidx`` indexes a sorted canonical k-mer table. The conjugate
+  vertex of ``2v+s`` is ``2v+(1-s)``; the conjugate edge is stored
+  explicitly (``conj`` column), mirroring the reference's conjugate_
+  pointers.
+- deletion is a boolean ``alive`` mask; compaction happens at
+  re-condensation points instead of the reference's ActionHandler
+  machinery (core/observable_graph.hpp:21).
+
+All arrays are capacity-padded; ``num_edges`` rows are real.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Graph(NamedTuple):
+    """Edge-table condensed graph (conjugate-paired).
+
+    seq_flat: (FLAT_CAP,) uint8 base codes; edge e's sequence is
+      ``seq_flat[seq_start[e] : seq_start[e] + seq_len[e]]``.
+    seq_start: (E_CAP,) int32.
+    seq_len: (E_CAP,) int32 — length in bases, >= k+1 for real edges.
+    cov: (E_CAP,) float32 — average (k+1)-mer coverage of the edge
+      (matches the reference's CoverageIndex semantics, core/coverage.hpp:28).
+    start_v / end_v: (E_CAP,) int32 oriented vertex ids.
+    conj: (E_CAP,) int32 conjugate edge id.
+    alive: (E_CAP,) bool.
+    num_edges: () int32.
+    k: static int (overlap size between adjacent edges).
+    """
+    seq_flat: jax.Array
+    seq_start: jax.Array
+    seq_len: jax.Array
+    cov: jax.Array
+    start_v: jax.Array
+    end_v: jax.Array
+    conj: jax.Array
+    alive: jax.Array
+    num_edges: jax.Array
+    k: int
+
+    @property
+    def capacity(self) -> int:
+        return self.seq_len.shape[0]
+
+
+def conj_vertex(v: jax.Array) -> jax.Array:
+    return v ^ 1
+
+
+def edge_mask(g: Graph) -> jax.Array:
+    """Alive real edges."""
+    return g.alive & (jnp.arange(g.capacity) < g.num_edges)
+
+
+def degrees(g: Graph, v_space: int) -> tuple[jax.Array, jax.Array]:
+    """(out_deg, in_deg) arrays of size v_space over alive edges."""
+    m = edge_mask(g)
+    one = m.astype(jnp.int32)
+    out_deg = jnp.zeros((v_space,), jnp.int32).at[
+        jnp.where(m, g.start_v, v_space)].add(one, mode="drop")
+    in_deg = jnp.zeros((v_space,), jnp.int32).at[
+        jnp.where(m, g.end_v, v_space)].add(one, mode="drop")
+    return out_deg, in_deg
+
+
+def edge_codes_host(g: Graph, e: int):
+    """Host-side helper: edge sequence as a numpy code array."""
+    import numpy as np
+    start = int(g.seq_start[e])
+    ln = int(g.seq_len[e])
+    return np.asarray(g.seq_flat[start:start + ln])

@@ -1,0 +1,127 @@
+"""Extension index: canonical k-mer vertex table with in/out nucleotide masks.
+
+TPU-native equivalent of the reference's ``DeBruijnExtensionIndex`` /
+``InOutMask`` (assembler/src/common/utils/extension_index/
+kmer_extension_index.hpp:42-200) and its builder
+(kmer_extension_index_builder.hpp:19-110): from the unique (k+1)-mer table,
+derive the k-mer set and an 8-bit mask per canonical k-mer (low 4 bits =
+outgoing nucleotides in canonical orientation, high 4 bits = incoming).
+
+Orientation convention (mirrors the reference's conjugation-by-mask
+transform at kmer_extension_index.hpp:19-40): a k-mer traversed in its
+non-canonical orientation has out-mask = bit-reversed in-mask of the
+canonical record (bit c <-> bit 3-c), and vice versa.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import dna, segments
+from .counter import KmerTable
+
+
+class VertexTable(NamedTuple):
+    """Sorted canonical k-mers with extension masks (padded ragged).
+
+    kmers: (N, W) uint32 sorted canonical k-mers (all-ones padding).
+    out_mask: (N,) uint8 — bit c set iff canonical k-mer extends right
+      with base c.
+    in_mask: (N,) uint8 — bit c set iff base c precedes the canonical
+      k-mer.
+    num: () int32.
+    """
+    kmers: jax.Array
+    out_mask: jax.Array
+    in_mask: jax.Array
+    num: jax.Array
+
+    @property
+    def capacity(self) -> int:
+        return self.kmers.shape[0]
+
+
+def reverse4(mask: jax.Array) -> jax.Array:
+    """Reverse a 4-bit nucleotide mask: bit c <-> bit 3-c (== complement)."""
+    m = mask.astype(jnp.uint32)
+    out = ((m & 1) << 3) | ((m & 2) << 1) | ((m & 4) >> 1) | ((m & 8) >> 3)
+    return out.astype(mask.dtype)
+
+
+def oriented_out_mask(vt: VertexTable, idx: jax.Array, is_fwd: jax.Array
+                      ) -> jax.Array:
+    """Out-mask of vertex ``idx`` traversed with orientation ``is_fwd``."""
+    return jnp.where(is_fwd, vt.out_mask[idx], reverse4(vt.in_mask[idx]))
+
+
+def oriented_in_mask(vt: VertexTable, idx: jax.Array, is_fwd: jax.Array
+                     ) -> jax.Array:
+    return jnp.where(is_fwd, vt.in_mask[idx], reverse4(vt.out_mask[idx]))
+
+
+def popcount4(mask: jax.Array) -> jax.Array:
+    m = mask.astype(jnp.int32)
+    return (m & 1) + ((m >> 1) & 1) + ((m >> 2) & 1) + ((m >> 3) & 1)
+
+
+def kplus1_prefix_suffix(kp1: jax.Array, k: int
+                         ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Split packed (k+1)-mers (N, W1) into prefix/suffix k-mers.
+
+    Returns (prefix (N, W), suffix (N, W), first_base (N,), last_base (N,)).
+    """
+    first = dna.kmer_first_base(kp1, k + 1)
+    last = dna.kmer_last_base(kp1, k + 1)
+    codes = dna.unpack_kmers(kp1, k + 1)        # (N, k+1)
+    prefix = dna.pack_kmers(codes[:, :k], k)
+    suffix = dna.pack_kmers(codes[:, 1:], k)
+    return prefix, suffix, first, last
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def build_vertex_table(kp1_table: KmerTable, k: int) -> VertexTable:
+    """(k+1)-mer table -> canonical k-mer vertex table with masks.
+
+    Follows kmer_extension_index_builder.hpp:45-60: every unique (k+1)-mer
+    ``s`` contributes out-base s[k] to its prefix k-mer and in-base s[0] to
+    its suffix k-mer, redirected through canonicalization.
+    """
+    E = kp1_table.capacity
+    kp1_valid = jnp.arange(E) < kp1_table.num
+    prefix, suffix, first, last = kplus1_prefix_suffix(kp1_table.kmers, k)
+
+    cpre, pre_fwd = dna.canonicalize_kmers(prefix, k)
+    csuf, suf_fwd = dna.canonicalize_kmers(suffix, k)
+
+    # Unique canonical k-mers from both halves.
+    all_k = jnp.concatenate([cpre, csuf], axis=0)
+    all_valid = jnp.concatenate([kp1_valid, kp1_valid])
+    uniq, _, num = segments.count_sorted(all_k, all_valid)
+
+    # Mask contributions. Column layout of the scatter target: 0..3 = out
+    # bits, 4..7 = in bits.
+    pre_idx = segments.searchsorted_rows(uniq, cpre)
+    suf_idx = segments.searchsorted_rows(uniq, csuf)
+    N = uniq.shape[0]
+
+    # prefix rule: canonical -> out bit last; else -> in bit comp(last)
+    pre_col = jnp.where(pre_fwd, last.astype(jnp.int32),
+                        4 + (3 - last.astype(jnp.int32)))
+    # suffix rule: canonical -> in bit first; else -> out bit comp(first)
+    suf_col = jnp.where(suf_fwd, 4 + first.astype(jnp.int32),
+                        3 - first.astype(jnp.int32))
+
+    bits = jnp.zeros((N, 8), jnp.uint8)
+    pre_row = jnp.where(kp1_valid, pre_idx, N)
+    suf_row = jnp.where(kp1_valid, suf_idx, N)
+    bits = bits.at[pre_row, pre_col].max(jnp.uint8(1), mode="drop")
+    bits = bits.at[suf_row, suf_col].max(jnp.uint8(1), mode="drop")
+
+    weights = (jnp.uint8(1) << jnp.arange(4, dtype=jnp.uint8))
+    out_mask = jnp.sum(bits[:, :4] * weights, axis=1).astype(jnp.uint8)
+    in_mask = jnp.sum(bits[:, 4:] * weights, axis=1).astype(jnp.uint8)
+    return VertexTable(uniq, out_mask, in_mask, num)

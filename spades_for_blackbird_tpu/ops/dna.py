@@ -183,6 +183,52 @@ def canonicalize_kmers(words: jax.Array, k: int
     return canon, ~rc_lt
 
 
+def truncate_bases(words: jax.Array, k_in: int, k_out: int) -> jax.Array:
+    """Keep the first ``k_out`` bases of packed ``k_in``-mers (prefix)."""
+    assert k_out <= k_in
+    W_out = words_per_kmer(k_out)
+    out = words[..., :W_out]
+    last_bases = k_out - (W_out - 1) * BASES_PER_WORD
+    if last_bases < BASES_PER_WORD:
+        mask = jnp.uint32(0xFFFFFFFF) << jnp.uint32(
+            (BASES_PER_WORD - last_bases) * 2)
+        out = out.at[..., W_out - 1].set(out[..., W_out - 1] & mask)
+    return out
+
+
+def drop_first_bases(words: jax.Array, m: int, k_in: int) -> jax.Array:
+    """Drop the first ``m`` bases of packed ``k_in``-mers -> (k_in-m)-mers."""
+    k_out = k_in - m
+    word_shift, base_shift = divmod(m, BASES_PER_WORD)
+    if word_shift:
+        zeros = jnp.zeros(words.shape[:-1] + (word_shift,), jnp.uint32)
+        words = jnp.concatenate([words[..., word_shift:], zeros], axis=-1)
+    if base_shift:
+        s = jnp.uint32(base_shift * 2)
+        hi = words << s
+        lo = jnp.concatenate(
+            [words[..., 1:], jnp.zeros(words.shape[:-1] + (1,), jnp.uint32)],
+            axis=-1) >> jnp.uint32(32 - base_shift * 2)
+        words = hi | lo
+    return truncate_bases(words, words.shape[-1] * BASES_PER_WORD, k_out)
+
+
+def append_base(words: jax.Array, k: int, base: jax.Array) -> jax.Array:
+    """Append one base to packed k-mers -> (k+1)-mers.
+
+    ``base`` is broadcastable to ``words.shape[:-1]`` with values 0..3.
+    """
+    W_out = words_per_kmer(k + 1)
+    if W_out > words.shape[-1]:
+        zeros = jnp.zeros(words.shape[:-1] + (W_out - words.shape[-1],),
+                          jnp.uint32)
+        words = jnp.concatenate([words, zeros], axis=-1)
+    w0, slot = divmod(k, BASES_PER_WORD)
+    shift = jnp.uint32((BASES_PER_WORD - 1 - slot) * 2)
+    placed = words[..., w0] | (base.astype(jnp.uint32) << shift)
+    return words.at[..., w0].set(placed)
+
+
 def kmer_last_base(words: jax.Array, k: int) -> jax.Array:
     """Last base code of each packed k-mer (..., W) -> (...,) uint8."""
     W = words_per_kmer(k)

@@ -1,0 +1,114 @@
+"""Simplification orchestration: iterative tips/bulges/EC to a fixed point.
+
+TPU-native counterpart of the reference's GraphSimplifier
+(assembler/src/common/stages/simplification.cpp:47-407: InitialCleaning ->
+cycle of {tip, bulge, EC} with iterative coverage thresholds x
+cycle_iter_count -> PostSimplification), with parameter semantics from
+configs/debruijn/simplification.info and the condition parser
+(stages/simplification_pipeline/graph_simplification.hpp:85-180):
+
+- tc_lb:   max_tip_length = max(min(k, read_len/2) * tc_lb, read_len)
+- cb:      absolute coverage upper bound; "auto" = detected coverage
+           bound from the coverage model (genomic_info_filler.cpp)
+- rctc:    tip_cov < rctc * max coverage of competing edges
+- to_ec_lb: max_ec_length = 2 * tip_length(to_ec_lb) - 1
+- icb:     iterative coverage bound, ramped linearly over the cycle
+- bulge:   max_bulge_length = coeff * k, relative delta 0.1
+
+Cycle conditions (simplification.info): tc "{tc_lb 1.5, cb 1.5, rctc 2.0}
+{tc_lb 2., cb 1.5}"; ec "{to_ec_lb 0.8, icb auto(*1.5 isolate)}";
+final_tc "{tc_lb 1.5, cb 3.0, rctc 2.0} {tc_lb 4., cb auto}".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.graph import Graph
+from . import passes
+from .recondense import recondense
+
+
+@dataclass
+class SimplifyConfig:
+    read_length: int = 100
+    # tip clipper cycle clauses: (tc_lb, cb_absolute_or_None=auto, rctc)
+    tip_clauses: tuple = ((1.5, 1.5, 2.0), (2.0, 1.5, None))
+    # final tip clipper clauses
+    final_tip_clauses: tuple = ((1.5, 3.0, 2.0), (4.0, None, None))
+    # bulge remover (br)
+    bulge_length_coeff: float = 3.0
+    bulge_max_coverage: float = 1000.0
+    bulge_rel_delta: float = 0.1
+    # erroneous connection remover (ec): { to_ec_lb 0.8, icb auto }
+    ec_to_lb: float = 0.8
+    ec_icb: float = 1.5  # multiplier on the detected bound (isolate mode)
+    # cycle (cycle_iter_count)
+    rounds: int = 10
+    # ier with use_rl_for_max_length_any_cov: isolated edges up to
+    # read_length go regardless of coverage
+    isolated_max_length: int | None = None
+    isolated_max_coverage: float = 1e18
+
+
+def _tip_length(k: int, read_length: int, lb: float) -> int:
+    return int(max(min(k, read_length / 2) * lb, read_length))
+
+
+def _clip_tips_clauses(g: Graph, v_space: int, clauses, k: int,
+                       read_length: int, auto_cb: float) -> Graph:
+    for lb, cb, rctc in clauses:
+        length = _tip_length(k, read_length, lb)
+        cov_bound = auto_cb if cb is None else cb
+        rel = 1e18 if rctc is None else rctc
+        g = passes.clip_tips(g, v_space, jnp.int32(length),
+                             jnp.float32(cov_bound), jnp.float32(rel))
+    return g
+
+
+def simplify_graph(g: Graph, v_space: int, ec_bound: float,
+                   cfg: SimplifyConfig = SimplifyConfig()) -> Graph:
+    """Run the full simplification cycle. ``ec_bound`` is the detected
+    coverage bound from the coverage model (GenomicInfo.ec_bound)."""
+    k = g.k
+    rl = cfg.read_length
+    auto_cb = max(ec_bound, 1.0)
+    bulge_len = int(cfg.bulge_length_coeff * k)
+    ec_len = 2 * _tip_length(k, rl, cfg.ec_to_lb) - 1
+    final_ec_threshold = cfg.ec_icb * auto_cb
+
+    for i in range(cfg.rounds):
+        # iterative threshold ramp (AlgorithmRunningHelper::
+        # IterativeThresholdsRun, graph_support/parallel_processing.hpp:161)
+        ec_thr = final_ec_threshold * (i + 1) / cfg.rounds
+        g = _clip_tips_clauses(g, v_space, cfg.tip_clauses, k, rl, auto_cb)
+        g = recondense(g, v_space)
+        g = passes.remove_bulges(g, v_space, jnp.int32(bulge_len),
+                                 jnp.float32(cfg.bulge_rel_delta),
+                                 jnp.float32(cfg.bulge_max_coverage))
+        g = recondense(g, v_space)
+        g = passes.remove_erroneous_connections(
+            g, v_space, jnp.int32(ec_len), jnp.float32(ec_thr))
+        g = recondense(g, v_space)
+
+    # post-simplification: final tip clipper + isolated cleanup
+    g = _clip_tips_clauses(g, v_space, cfg.final_tip_clauses, k, rl, auto_cb)
+    g = recondense(g, v_space)
+    g = passes.remove_bulges(g, v_space, jnp.int32(bulge_len),
+                             jnp.float32(cfg.bulge_rel_delta),
+                             jnp.float32(cfg.bulge_max_coverage))
+    g = recondense(g, v_space)
+
+    iso_len = cfg.isolated_max_length
+    if iso_len is None:
+        iso_len = rl
+    g = passes.remove_isolated(g, v_space, jnp.int32(iso_len),
+                               jnp.float32(cfg.isolated_max_coverage))
+    return g
+
+
+def alive_edge_count(g: Graph) -> int:
+    return int(np.asarray(passes.edge_mask(g)).sum())

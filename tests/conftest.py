@@ -8,15 +8,19 @@ TPU chip.
 import os
 import sys
 
-# The container pins JAX_PLATFORMS=axon (tunneled single TPU chip) via
-# sitecustomize; tests must run on local CPU — blank PALLAS_AXON_POOL_IPS so
-# sitecustomize skips axon registration, and force the platform (plain
-# setdefault would lose to the baked env).
+# The container pins JAX_PLATFORMS=axon (tunneled single TPU chip) via a
+# sitecustomize that imports jax at interpreter startup, so env vars alone
+# are too late here. Backends are not initialized yet at conftest time, so
+# overriding the config before the first device use still forces CPU.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
