@@ -31,18 +31,24 @@ def main():
     lengths = jax.device_put(np.full((R,), L, dtype=np.int32))
 
     @jax.jit
-    def step(c, l):
+    def step(c, l, salt):
+        # salt the input so every iteration is distinct work (guards
+        # against dispatch/result caching in remote backends)
+        c = (c + salt.astype(jnp.uint8)) % jnp.uint8(4)
         t = counter.count_kmers(c, l, k)
         return t.num
 
-    step(codes, lengths).block_until_ready()  # compile + warmup
+    import jax.numpy as jnp
+    step(codes, lengths, jnp.int32(0)).block_until_ready()  # compile
 
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        n = step(codes, lengths)
-    n.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    # block every iteration: the tunneled backend reports readiness per
+    # dispatch, so unblocked loop timing under-measures wildly
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        step(codes, lengths, jnp.int32(i + 1)).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
 
     kmers = R * (L - k + 1)
     rate = kmers / dt

@@ -59,6 +59,17 @@ def filter_min_count(table: KmerTable, min_count: jax.Array) -> KmerTable:
     return KmerTable(kmers, counts, num)
 
 
+@jax.jit
+def merge_tables(a: KmerTable, b: KmerTable) -> KmerTable:
+    """Merge two counted tables (counts add). Capacity = sum of inputs."""
+    kmers = jnp.concatenate([a.kmers, b.kmers], axis=0)
+    weights = jnp.concatenate([a.counts, b.counts])
+    valid = jnp.concatenate([
+        jnp.arange(a.capacity) < a.num, jnp.arange(b.capacity) < b.num])
+    uniq, counts, num = segments.count_sorted(kmers, valid, weights)
+    return KmerTable(uniq, counts.astype(jnp.int32), num)
+
+
 def lookup(table: KmerTable, queries: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Find query k-mers (M, W) in the table.
 

@@ -26,12 +26,15 @@ class AssemblyResult:
     contigs: list[tuple[str, float]]
     genomic_info: coverage_model.GenomicInfo
     stats: dict
+    graph: object = None  # final simplified Graph (for GFA/FASTG output)
 
 
 def assemble_single_k(codes, lengths, k: int,
                       cfg: runner.SimplifyConfig | None = None,
                       min_contig_length: int | None = None,
-                      min_kmer_count: int = 1) -> AssemblyResult:
+                      min_kmer_count: int = 1,
+                      extra_sequences: list[str] | None = None
+                      ) -> AssemblyResult:
     """Assemble one read batch at a single K.
 
     Args:
@@ -39,6 +42,9 @@ def assemble_single_k(codes, lengths, k: int,
       k: odd k-mer size (vertex size; edges from (k+1)-mers).
       cfg: simplification parameters (defaults mirror the reference).
       min_contig_length: drop contigs shorter than this (default 2k).
+      extra_sequences: additional sequences fed into construction (the
+        multi-K "--additional-contigs" mechanism,
+        spades_pipeline/stages/spades_iteration_stage.py:167-180).
     """
     if k % 2 == 0:
         raise ValueError(f"k must be odd (reference enforces this, "
@@ -51,6 +57,12 @@ def assemble_single_k(codes, lengths, k: int,
     kp1 = counter.count_kmers(codes, lengths, k + 1)
     ginfo = coverage_model.fit_coverage_model(
         np.asarray(kp1.counts[:int(kp1.num)]))
+    if extra_sequences:
+        extra = [s for s in extra_sequences if len(s) > k]
+        if extra:
+            ec, el = dna.encode_reads(extra)
+            kp1 = counter.merge_tables(
+                kp1, counter.count_kmers(ec, el, k + 1))
     if min_kmer_count > 1:
         kp1 = counter.filter_min_count(kp1, min_kmer_count)
     from ..kmers import extension
@@ -69,4 +81,40 @@ def assemble_single_k(codes, lengths, k: int,
         contigs=contigs,
         genomic_info=ginfo,
         stats=construct.graph_stats(g),
+        graph=g,
     )
+
+
+# Reference default K ladders (spades_pipeline/options_storage.py:62-77)
+K_MERS_SHORT = [21, 33, 55]
+K_MERS_150 = [21, 33, 55, 77]
+K_MERS_250 = [21, 33, 55, 77, 99, 127]
+
+
+def default_k_ladder(read_length: int) -> list[int]:
+    """Auto K selection from read length (spades_stage.py:41-120)."""
+    if read_length >= 250:
+        return K_MERS_250
+    if read_length >= 150:
+        return K_MERS_150
+    return K_MERS_SHORT
+
+
+def assemble_multi_k(codes, lengths, ks: list[int] | None = None,
+                     cfg: runner.SimplifyConfig | None = None,
+                     min_contig_length: int | None = None
+                     ) -> AssemblyResult:
+    """Iterative multi-K assembly (the spades.py per-K loop,
+    spades.py:533-565): each K's contigs seed the next K's construction."""
+    if ks is None:
+        ks = [k for k in default_k_ladder(int(codes.shape[1]))
+              if k < int(codes.shape[1])]
+    result = None
+    prev_contigs: list[str] = []
+    for k in ks:
+        result = assemble_single_k(
+            codes, lengths, k, cfg=cfg,
+            min_contig_length=min_contig_length,
+            extra_sequences=prev_contigs)
+        prev_contigs = [s for s, _ in result.contigs]
+    return result

@@ -1,0 +1,76 @@
+"""Multi-K pipeline + CLI + GFA output tests (the spades.py --test
+equivalent, check_test_stage.py behavior)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+DATASET = "/root/reference/assembler/test_dataset"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(DATASET), reason="toy dataset unavailable")
+
+
+def test_multi_k_closes_k55_gap():
+    import naive_debruijn as nd
+    from spades_for_blackbird_tpu.io import fastq
+    from spades_for_blackbird_tpu.pipeline import assemble
+
+    b1, b2 = fastq.load_paired_reads(
+        f"{DATASET}/ecoli_1K_1.fq.gz", f"{DATASET}/ecoli_1K_2.fq.gz")
+    batch = fastq.concat_batches([b1, b2])
+    res = assemble.assemble_multi_k(batch.codes, batch.lengths, [21, 33, 55])
+    _, seqs = fastq.read_sequences(f"{DATASET}/reference_1K.fa.gz")
+    ref = seqs[0]
+    assert len(res.contigs) == 1
+    assert res.contigs[0][0] in (ref, nd.rc(ref))
+
+
+def test_cli_end_to_end(tmp_path):
+    from spades_for_blackbird_tpu import cli
+    out = tmp_path / "out"
+    rc_code = cli.main(["--test", "-o", str(out), "-k", "21,33"])
+    assert rc_code == 0
+    contigs = (out / "contigs.fasta").read_text()
+    assert contigs.startswith(">NODE_1_length_1000_cov_")
+    gfa_text = (out / "assembly_graph_with_scaffolds.gfa").read_text()
+    assert gfa_text.startswith("H\tVN:Z:1.0")
+    assert "\nS\t1\t" in gfa_text
+    assert (out / "spades.log").exists()
+
+
+def test_cli_errors():
+    from spades_for_blackbird_tpu import cli
+    # no input
+    assert cli.main(["-o", "/tmp/x_cli_err"]) == 2
+    # mismatched -1/-2
+    assert cli.main(["-1", "a.fq", "-o", "/tmp/x_cli_err"]) == 2
+
+
+def test_gfa_roundtrip(tmp_path):
+    import naive_debruijn as nd
+    from spades_for_blackbird_tpu.graph import construct
+    from spades_for_blackbird_tpu.io import gfa
+    from spades_for_blackbird_tpu.ops import dna
+
+    rng = np.random.default_rng(0)
+    x = "".join(rng.choice(list("ACGT"), size=60))
+    s1 = x + "".join(rng.choice(list("ACGT"), size=30))
+    s2 = x + "".join(rng.choice(list("ACGT"), size=30))
+    codes, lengths = dna.encode_reads([s1, s2])
+    g = construct.graph_from_reads(codes, lengths, 15)
+
+    path = tmp_path / "g.gfa"
+    gfa.write_gfa(str(path), g)
+    segments, links = gfa.read_gfa(str(path))
+    # fork: 3 segments (stem, branch1, branch2), 2 links
+    assert len(segments) == 3
+    assert len(links) == 2
+    seqs = {s for s, _ in segments.values()}
+    # stem + the two branch edges (up to orientation)
+    assert any(s1[:len(next(iter(seqs)))] for s in seqs)  # smoke
+    for name, (seq, cov) in segments.items():
+        assert cov > 0
