@@ -81,9 +81,11 @@ def main(argv=None) -> int:
         log_f.flush()
 
     batches = []
+    paired_lr: list = []
     for p1, p2 in zip(args.pe1, args.pe2):
         b1, b2 = fastq.load_paired_reads(p1, p2)
         batches += [b1, b2]
+        paired_lr.append((b1, b2))
         log(f"loaded paired library {p1} + {p2}: {b1.num_reads} pairs")
     for ip in args.interlaced:
         b = fastq.load_reads(ip)
@@ -96,6 +98,21 @@ def main(argv=None) -> int:
     batch = fastq.concat_batches(batches)
     read_length = int(batch.lengths.max())
     log(f"total reads: {batch.num_reads}, max length {read_length}")
+
+    if not args.only_assembler:
+        from .hammer import correct as hammer_correct
+        log("read error correction (BayesHammer equivalent, K=21)")
+        corrected, hstats = hammer_correct.correct_reads(
+            batch.codes, batch.lengths, k=21)
+        log(f"correction: {hstats}")
+        batch.codes = corrected
+        # propagate to per-library views for repeat resolution
+        off = 0
+        for b1, b2 in paired_lr:
+            b1.codes = corrected[off:off + b1.num_reads]
+            off += b1.num_reads
+            b2.codes = corrected[off:off + b2.num_reads]
+            off += b2.num_reads
 
     if args.k_list:
         try:
@@ -121,9 +138,25 @@ def main(argv=None) -> int:
     log(f"assembly finished in {time.time() - t0:.1f}s; "
         f"{len(res.contigs)} contigs, stats={res.stats}")
 
+    # pre-RR edge sequences (reference writes before_rr.fasta)
+    fasta.write_contigs_fasta(
+        os.path.join(args.output_dir, "before_rr.fasta"), res.contigs)
+
+    final_contigs = res.contigs
+    if paired_lr:
+        l1 = fastq.concat_batches([b1 for b1, _ in paired_lr])
+        l2 = fastq.concat_batches([b2 for _, b2 in paired_lr])
+        log("repeat resolution (exSPAnder) with paired-end support")
+        final_contigs = assemble.repeat_resolution(
+            res.graph, l1.codes, l1.lengths, l2.codes, l2.lengths)
+        log(f"resolved {len(final_contigs)} paths")
+
     contigs_path = os.path.join(args.output_dir, "contigs.fasta")
-    fasta.write_contigs_fasta(contigs_path, res.contigs)
+    fasta.write_contigs_fasta(contigs_path, final_contigs)
     log(f"wrote {contigs_path}")
+    # scaffolds == contigs until the scaffolding stage lands
+    fasta.write_contigs_fasta(
+        os.path.join(args.output_dir, "scaffolds.fasta"), final_contigs)
 
     gfa_path = os.path.join(args.output_dir,
                             "assembly_graph_with_scaffolds.gfa")

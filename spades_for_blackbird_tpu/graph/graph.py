@@ -21,13 +21,16 @@ All arrays are capacity-padded; ``num_edges`` rows are real.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
 
 
-class Graph(NamedTuple):
+@jax.tree_util.register_dataclass
+@dataclass
+class Graph:
     """Edge-table condensed graph (conjugate-paired).
 
     seq_flat: (FLAT_CAP,) uint8 base codes; edge e's sequence is
@@ -40,7 +43,8 @@ class Graph(NamedTuple):
     conj: (E_CAP,) int32 conjugate edge id.
     alive: (E_CAP,) bool.
     num_edges: () int32.
-    k: static int (overlap size between adjacent edges).
+    k: static metadata (overlap size between adjacent edges) — not a
+      pytree leaf, so it stays a Python int through jit boundaries.
     """
     seq_flat: jax.Array
     seq_start: jax.Array
@@ -51,11 +55,14 @@ class Graph(NamedTuple):
     conj: jax.Array
     alive: jax.Array
     num_edges: jax.Array
-    k: int
+    k: int = field(metadata=dict(static=True))
 
     @property
     def capacity(self) -> int:
         return self.seq_len.shape[0]
+
+    def _replace(self, **kw) -> "Graph":
+        return dataclasses.replace(self, **kw)
 
 
 def conj_vertex(v: jax.Array) -> jax.Array:

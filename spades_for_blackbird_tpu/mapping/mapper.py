@@ -61,6 +61,21 @@ def map_kmers(index: EdgeKmerIndex, codes: jax.Array, lengths: jax.Array,
     return edge, off, same, found
 
 
+@jax.jit
+def normalize_mapping(m: ReadMapping, conj: jax.Array) -> ReadMapping:
+    """Rewrite rc-orientation hits (oid 2e+1) as forward hits on the
+    conjugate edge (oid 2*conj[e]): the conjugate edge's sequence IS the
+    reverse complement, so offsets carry over unchanged. After this, all
+    oriented ids are even and pair-info/path-extension can key on plain
+    edge ids."""
+    e = m.oriented_edge // 2
+    rc = (m.oriented_edge % 2) == 1
+    safe_e = jnp.maximum(e, 0)
+    e2 = jnp.where(rc, conj[safe_e], e)
+    oe = jnp.where(m.oriented_edge >= 0, 2 * e2, -1)
+    return m._replace(oriented_edge=oe)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def map_reads(index: EdgeKmerIndex, seq_len: jax.Array, codes: jax.Array,
               lengths: jax.Array, k: int) -> ReadMapping:

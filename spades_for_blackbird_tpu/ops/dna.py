@@ -89,6 +89,16 @@ def revcomp_codes(codes: jax.Array, axis: int = -1) -> jax.Array:
     return jnp.flip(complement_codes(codes), axis=axis)
 
 
+def revcomp_reads(codes: jax.Array, lengths: jax.Array) -> jax.Array:
+    """Reverse-complement a padded read batch (R, L), keeping each read
+    left-aligned (padding stays at the end)."""
+    L = codes.shape[1]
+    rc = jnp.flip(complement_codes(codes), axis=1)
+    shift = (L - lengths).astype(jnp.int32)
+    col = (jnp.arange(L)[None, :] + shift[:, None]) % L
+    return jnp.take_along_axis(rc, col, axis=1)
+
+
 # ---------------------------------------------------------------------------
 # Packed k-mer words.
 # ---------------------------------------------------------------------------

@@ -100,6 +100,42 @@ def default_k_ladder(read_length: int) -> list[int]:
     return K_MERS_SHORT
 
 
+def repeat_resolution(g, codes1, lengths1, codes2, lengths2
+                      ) -> list[tuple[str, float]]:
+    """exSPAnder repeat resolution over the final graph using one
+    paired-end library (the RepeatResolution stage,
+    projects/spades/repeat_resolving.cpp:62).
+
+    codes2/lengths2 are the second mates as read (FR orientation); they
+    are reverse-complemented here so both mates face downstream.
+    """
+    import jax.numpy as jnp
+    from ..mapping import index as eidx
+    from ..mapping import mapper
+    from ..paired import insert_size, pair_info
+    from ..path_extend import resolver
+
+    k = g.k
+    idx = eidx.build_edge_index(g, k)
+    c2rc = dna.revcomp_reads(codes2, lengths2)
+    m1 = mapper.map_reads(idx, g.seq_len, codes1, lengths1, k)
+    m2 = mapper.map_reads(idx, g.seq_len, c2rc, lengths2, k)
+    m1 = mapper.normalize_mapping(m1, g.conj)
+    m2 = mapper.normalize_mapping(m2, g.conj)
+
+    stats = insert_size.estimate_insert_size(m1, m2, np.asarray(lengths2))
+    if stats.count == 0:
+        from ..io import fasta
+        return fasta.graph_contigs(g, min_length=2 * k)
+    mean_l2 = float(np.asarray(lengths2).mean())
+    pi = pair_info.fill_paired_index(
+        m1, m2, jnp.int32(int(round(stats.median - mean_l2))))
+    spread = max(5, int(3 * stats.mad))
+    clustered = pair_info.cluster_distances(pi, jnp.int32(spread))
+    ps = resolver.resolve_paths(g, clustered)
+    return resolver.paths_to_contigs(g, ps)
+
+
 def assemble_multi_k(codes, lengths, ks: list[int] | None = None,
                      cfg: runner.SimplifyConfig | None = None,
                      min_contig_length: int | None = None

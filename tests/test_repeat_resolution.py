@@ -1,0 +1,76 @@
+"""Repeat resolution: paired reads must resolve a two-copy repeat.
+
+Mirrors the reference's path_extend tests (path_extend_test.cpp): a
+genome A-R-B-R-C whose repeat R collapses into one edge is resolved into
+the full genome by distance-consistent paired support.
+"""
+
+import numpy as np
+import pytest
+
+import naive_debruijn as nd
+from spades_for_blackbird_tpu.graph import construct
+from spades_for_blackbird_tpu.ops import dna
+from spades_for_blackbird_tpu.pipeline import assemble
+
+K = 15
+
+
+def random_dna(n, seed):
+    rng = np.random.default_rng(seed)
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+def make_paired(genome, L=50, IS=200, step=4):
+    positions = list(range(0, len(genome) - IS + 1, step))
+    if positions[-1] != len(genome) - IS:
+        positions.append(len(genome) - IS)  # cover the genome tail
+    r1s, r2s = [], []
+    for pos in positions:
+        r1s.append(genome[pos:pos + L])
+        r2s.append(nd.rc(genome[pos + IS - L:pos + IS]))
+    return r1s, r2s
+
+
+def test_two_copy_repeat_resolved():
+    A = random_dna(150, 1)
+    R = random_dna(80, 2)
+    B = random_dna(150, 3)
+    C = random_dna(150, 4)
+    genome = A + R + B + R + C
+
+    r1s, r2s = make_paired(genome)
+    all_reads = r1s + r2s
+    codes, lengths = dna.encode_reads(all_reads)
+    g = construct.graph_from_reads(codes, lengths, K)
+
+    # the repeat collapses: expect >2 edges before resolution
+    from spades_for_blackbird_tpu.io.fasta import graph_contigs
+    pre = graph_contigs(g)
+    assert len(pre) > 1, "repeat should fragment the unitig graph"
+
+    c1, l1 = dna.encode_reads(r1s)
+    c2, l2 = dna.encode_reads(r2s)
+    contigs = assemble.repeat_resolution(g, c1, l1, c2, l2)
+    top = contigs[0][0]
+    assert top in (genome, nd.rc(genome)), \
+        f"top len {len(top)} vs genome {len(genome)}"
+
+
+def test_repeat_unresolvable_without_pairs_stays_split():
+    # same genome but mate distance too short to span the repeat: the
+    # resolver must NOT merge (no distance-consistent support crossing R)
+    A = random_dna(150, 5)
+    R = random_dna(120, 6)
+    B = random_dna(150, 7)
+    C = random_dna(150, 8)
+    genome = A + R + B + R + C
+    # IS=130 spans barely past R=120 from few positions; use IS=60 (no span)
+    r1s, r2s = make_paired(genome, L=50, IS=60, step=4)
+    codes, lengths = dna.encode_reads(r1s + r2s)
+    g = construct.graph_from_reads(codes, lengths, K)
+    c1, l1 = dna.encode_reads(r1s)
+    c2, l2 = dna.encode_reads(r2s)
+    contigs = assemble.repeat_resolution(g, c1, l1, c2, l2)
+    tops = [s for s, _ in contigs]
+    assert genome not in tops and nd.rc(genome) not in tops
