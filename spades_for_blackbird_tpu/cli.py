@@ -2,10 +2,13 @@
 
 Mirrors the reference's top-level orchestration
 (assembler/spades.py:593 main, options at
-spades_pipeline/options_parser.py): parse libraries, pick the K ladder,
-run the multi-K pipeline, write contigs + assembly graph into the output
-directory layout the reference uses (contigs.fasta,
-assembly_graph_with_scaffolds.gfa, ...).
+spades_pipeline/options_parser.py, stage checkpointing semantics of
+--continue/--restart-from/--stop-after at spades.py:179-418 +
+executor_local.py:21): parse libraries, pick the K ladder, run the stage
+pipeline (pipeline/spades_stages.py) under the checkpointing
+StageManager, writing the reference's output layout (contigs.fasta,
+scaffolds.fasta, before_rr.fasta, assembly_graph_with_scaffolds.gfa,
+spades.log, saves/).
 
 Usage:
     python -m spades_for_blackbird_tpu -1 left.fq.gz -2 right.fq.gz -o out
@@ -37,12 +40,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-k", dest="k_list", default=None,
                    help="comma-separated odd k values (default: auto)")
     p.add_argument("--only-assembler", action="store_true",
-                   help="skip read error correction (currently always on)")
+                   help="skip read error correction")
+    p.add_argument("--only-error-correction", action="store_true",
+                   help="run read error correction only")
     p.add_argument("--careful", action="store_true",
                    help="mismatch correction post-pass (not yet wired)")
     p.add_argument("--test", action="store_true",
                    help="run on the bundled toy dataset")
     p.add_argument("--min-contig-length", type=int, default=None)
+    p.add_argument("--continue", dest="continue_run", action="store_true",
+                   help="resume from the last completed stage")
+    p.add_argument("--restart-from", default=None, metavar="STAGE",
+                   help="restart from a stage (e.g. k33, repeat_resolution)")
+    p.add_argument("--stop-after", default=None, metavar="STAGE",
+                   help="stop after the given stage")
+    p.add_argument("--checkpoints", choices=["none", "last", "all"],
+                   default="last", help="per-stage saves policy")
     p.add_argument("--threads", "-t", type=int, default=None,
                    help="accepted for CLI compatibility (device-parallel)")
     p.add_argument("--memory", "-m", type=int, default=None,
@@ -55,8 +68,9 @@ TEST_DATASET = "/root/reference/assembler/test_dataset"
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    from .io import fastq, fasta, gfa
-    from .pipeline import assemble
+    from .io import fastq
+    from .pipeline import assemble, spades_stages
+    from .pipeline.stages import PipelineContext, StageManager
 
     if args.test:
         args.pe1 = [f"{TEST_DATASET}/ecoli_1K_1.fq.gz"]
@@ -71,8 +85,7 @@ def main(argv=None) -> int:
         return 2
 
     os.makedirs(args.output_dir, exist_ok=True)
-    log_path = os.path.join(args.output_dir, "spades.log")
-    log_f = open(log_path, "w")
+    log_f = open(os.path.join(args.output_dir, "spades.log"), "a")
 
     def log(msg):
         line = f"[{time.strftime('%H:%M:%S')}] {msg}"
@@ -80,39 +93,11 @@ def main(argv=None) -> int:
         log_f.write(line + "\n")
         log_f.flush()
 
-    batches = []
-    paired_lr: list = []
-    for p1, p2 in zip(args.pe1, args.pe2):
-        b1, b2 = fastq.load_paired_reads(p1, p2)
-        batches += [b1, b2]
-        paired_lr.append((b1, b2))
-        log(f"loaded paired library {p1} + {p2}: {b1.num_reads} pairs")
-    for ip in args.interlaced:
-        b = fastq.load_reads(ip)
-        batches.append(b)
-        log(f"loaded interlaced library {ip}: {b.num_reads} reads")
-    for sp in args.single:
-        b = fastq.load_reads(sp)
-        batches.append(b)
-        log(f"loaded single library {sp}: {b.num_reads} reads")
-    batch = fastq.concat_batches(batches)
-    read_length = int(batch.lengths.max())
-    log(f"total reads: {batch.num_reads}, max length {read_length}")
-
-    if not args.only_assembler:
-        from .hammer import correct as hammer_correct
-        log("read error correction (BayesHammer equivalent, K=21)")
-        corrected, hstats = hammer_correct.correct_reads(
-            batch.codes, batch.lengths, k=21)
-        log(f"correction: {hstats}")
-        batch.codes = corrected
-        # propagate to per-library views for repeat resolution
-        off = 0
-        for b1, b2 in paired_lr:
-            b1.codes = corrected[off:off + b1.num_reads]
-            off += b1.num_reads
-            b2.codes = corrected[off:off + b2.num_reads]
-            off += b2.num_reads
+    first_file = (args.pe1 or args.single or args.interlaced)[0]
+    read_length = fastq.peek_read_length(first_file)
+    if read_length == 0:
+        print(f"error: no reads found in {first_file}", file=sys.stderr)
+        return 2
 
     if args.k_list:
         try:
@@ -131,41 +116,23 @@ def main(argv=None) -> int:
               if k < read_length]
     log(f"K values: {ks}")
 
-    t0 = time.time()
-    res = assemble.assemble_multi_k(
-        batch.codes, batch.lengths, ks,
-        min_contig_length=args.min_contig_length)
-    log(f"assembly finished in {time.time() - t0:.1f}s; "
-        f"{len(res.contigs)} contigs, stats={res.stats}")
-
-    # pre-RR edge sequences (reference writes before_rr.fasta)
-    fasta.write_contigs_fasta(
-        os.path.join(args.output_dir, "before_rr.fasta"), res.contigs)
-
-    final_contigs = res.contigs
-    if paired_lr:
-        l1 = fastq.concat_batches([b1 for b1, _ in paired_lr])
-        l2 = fastq.concat_batches([b2 for _, b2 in paired_lr])
-        log("repeat resolution (exSPAnder) with paired-end support")
-        final_contigs = assemble.repeat_resolution(
-            res.graph, l1.codes, l1.lengths, l2.codes, l2.lengths)
-        log(f"resolved {len(final_contigs)} paths")
-
-    contigs_path = os.path.join(args.output_dir, "contigs.fasta")
-    fasta.write_contigs_fasta(contigs_path, final_contigs)
-    log(f"wrote {contigs_path}")
-    # scaffolds == contigs until the scaffolding stage lands
-    fasta.write_contigs_fasta(
-        os.path.join(args.output_dir, "scaffolds.fasta"), final_contigs)
-
-    gfa_path = os.path.join(args.output_dir,
-                            "assembly_graph_with_scaffolds.gfa")
-    gfa.write_gfa(gfa_path, res.graph)
-    log(f"wrote {gfa_path}")
+    stages = spades_stages.build_stage_list(args, ks, log)
+    if args.only_error_correction:
+        stages = [s for s in stages
+                  if s.name in ("read_conversion", "error_correction")]
+    mgr = StageManager(stages=stages, output_dir=args.output_dir,
+                       checkpoints=args.checkpoints, log=log)
+    try:
+        ctx = mgr.run(PipelineContext(), continue_run=args.continue_run,
+                      restart_from=args.restart_from,
+                      stop_after=args.stop_after)
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
     with open(os.path.join(args.output_dir, "params.json"), "w") as f:
-        json.dump({"ks": ks, "reads": int(batch.num_reads),
-                   "read_length": read_length}, f)
+        json.dump({"ks": ks, "read_length": read_length,
+                   "stages": [s.name for s in stages]}, f)
     log("done")
     log_f.close()
     return 0

@@ -79,8 +79,48 @@ def read_sequences(path: str) -> tuple[list[str], list[str]]:
     return names, seqs
 
 
+def peek_read_length(path: str, n: int = 100) -> int:
+    """Max length of the first ``n`` reads (for K-ladder selection,
+    mirroring the reference's read-length scan in support.py)."""
+    longest = 0
+    count = 0
+    with _open_text(path) as f:
+        first = f.read(1)
+        f.seek(0)
+        if first == ">":
+            cur = 0
+            for line in f:
+                line = line.rstrip()
+                if line.startswith(">"):
+                    longest = max(longest, cur)
+                    cur = 0
+                    count += 1
+                    if count > n:
+                        break
+                else:
+                    cur += len(line)
+            longest = max(longest, cur)
+        elif first == "@":
+            while count < n:
+                h = f.readline()
+                if not h:
+                    break
+                longest = max(longest, len(f.readline().rstrip()))
+                f.readline()
+                f.readline()
+                count += 1
+    return longest
+
+
 def load_reads(path: str, max_len: int | None = None,
                keep_names: bool = False) -> ReadBatch:
+    if not keep_names and max_len is None:
+        # hot path: native zlib parser packing straight into the tensor
+        # (replaces the reference's kseq streams + binary read store)
+        from .. import native
+        out = native.load_reads_native(path)
+        if out is not None:
+            return ReadBatch(out[0], out[1], None)
     names, seqs = read_sequences(path)
     codes, lengths = dna.encode_reads(seqs, max_len=max_len)
     return ReadBatch(codes, lengths, names if keep_names else None)
