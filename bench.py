@@ -25,7 +25,7 @@ def main():
     from spades_for_blackbird_tpu.kmers import counter
 
     k = 21
-    R, L = 65536, 150
+    R, L = 262144, 150
     rng = np.random.default_rng(0)
     codes = jax.device_put(rng.integers(0, 4, (R, L), dtype=np.uint8))
     lengths = jax.device_put(np.full((R,), L, dtype=np.int32))
@@ -39,14 +39,15 @@ def main():
         return t.num
 
     import jax.numpy as jnp
-    step(codes, lengths, jnp.int32(0)).block_until_ready()  # compile
+    int(step(codes, lengths, jnp.int32(0)))  # compile + sync
 
-    # block every iteration: the tunneled backend reports readiness per
-    # dispatch, so unblocked loop timing under-measures wildly
+    # sync via host transfer every iteration: on the tunneled backend,
+    # block_until_ready returns at dispatch, not completion — only a
+    # device->host read observes the finished computation
     times = []
     for i in range(5):
         t0 = time.perf_counter()
-        step(codes, lengths, jnp.int32(i + 1)).block_until_ready()
+        int(step(codes, lengths, jnp.int32(i + 1)))
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
 

@@ -44,7 +44,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--only-error-correction", action="store_true",
                    help="run read error correction only")
     p.add_argument("--careful", action="store_true",
-                   help="mismatch correction post-pass (not yet wired)")
+                   help="run the mismatch-correction polishing stage")
+    p.add_argument("--meta", action="store_true",
+                   help="metagenomic mode (metaSPAdes equivalent)")
+    p.add_argument("--plasmid", action="store_true",
+                   help="plasmid mode (plasmidSPAdes equivalent)")
+    p.add_argument("--metaplasmid", action="store_true",
+                   help="metaplasmid/metaviral mode")
+    p.add_argument("--rna", action="store_true",
+                   help="RNA-seq mode (rnaSPAdes equivalent)")
+    p.add_argument("--sc", action="store_true",
+                   help="single-cell (MDA) mode")
     p.add_argument("--test", action="store_true",
                    help="run on the bundled toy dataset")
     p.add_argument("--min-contig-length", type=int, default=None)
@@ -56,6 +66,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stop after the given stage")
     p.add_argument("--checkpoints", choices=["none", "last", "all"],
                    default="last", help="per-stage saves policy")
+    p.add_argument("--trace-time", action="store_true",
+                   help="emit Chrome-trace JSON of stage/phase timings")
     p.add_argument("--threads", "-t", type=int, default=None,
                    help="accepted for CLI compatibility (device-parallel)")
     p.add_argument("--memory", "-m", type=int, default=None,
@@ -116,7 +128,25 @@ def main(argv=None) -> int:
               if k < read_length]
     log(f"K values: {ks}")
 
-    stages = spades_stages.build_stage_list(args, ks, log)
+    if args.trace_time:
+        from .utils import timetrace
+        timetrace.enable()
+
+    from .pipeline.config import config_for_mode
+    mode_flags = [m for m in ("meta", "plasmid", "metaplasmid", "rna", "sc")
+                  if getattr(args, m)]
+    if len(mode_flags) > 1:
+        print(f"error: conflicting mode flags: {mode_flags}",
+              file=sys.stderr)
+        return 2
+    mode = mode_flags[0] if mode_flags else "isolate"
+    cfg = config_for_mode(mode, careful=args.careful)
+    if cfg.ks is not None and not args.k_list:
+        ks = [k for k in cfg.ks if k < read_length]
+        log(f"mode {mode}: K values {ks}")
+    log(f"mode: {mode}")
+
+    stages = spades_stages.build_stage_list(args, ks, log, cfg)
     if args.only_error_correction:
         stages = [s for s in stages
                   if s.name in ("read_conversion", "error_correction")]
@@ -133,6 +163,11 @@ def main(argv=None) -> int:
     with open(os.path.join(args.output_dir, "params.json"), "w") as f:
         json.dump({"ks": ks, "read_length": read_length,
                    "stages": [s.name for s in stages]}, f)
+    if args.trace_time:
+        from .utils import timetrace
+        trace_path = os.path.join(args.output_dir, "spades_time_trace.json")
+        timetrace.dump(trace_path)
+        log(f"wrote {trace_path}")
     log("done")
     log_f.close()
     return 0

@@ -42,7 +42,10 @@ def count_kmers(codes: jax.Array, lengths: jax.Array, k: int) -> KmerTable:
     W = canon.shape[-1]
     flat = canon.reshape(-1, W)
     flat_valid = valid.reshape(-1)
-    uniq, counts, num = segments.count_sorted(flat, flat_valid)
+    # all-ones is unreachable for real k-mers when pad bits exist
+    sentinel_safe = (k % dna.BASES_PER_WORD) != 0
+    uniq, counts, num = segments.count_sorted(
+        flat, flat_valid, sentinel_safe=sentinel_safe)
     return KmerTable(uniq, counts.astype(jnp.int32), num)
 
 

@@ -83,11 +83,27 @@ def unique_counts(sorted_keys: jax.Array, sorted_valid: jax.Array,
 
 
 def count_sorted(keys: jax.Array, valid: jax.Array,
-                 weights: jax.Array | None = None):
+                 weights: jax.Array | None = None,
+                 sentinel_safe: bool = False):
     """sort + unique_counts in one call.
 
     Returns (uniq, counts, num_unique).
+
+    sentinel_safe: caller guarantees no real key row is all-ones (true for
+    packed k-mers whenever k % 16 != 0 — the pad bits are always zero).
+    The fast path then folds validity into the keys (invalid -> all-ones)
+    and sorts W key columns with no extra validity column or permutation
+    payload — the hot-path win for the counting engine.
     """
+    if sentinel_safe and weights is None:
+        N, W = keys.shape
+        skeys = jnp.where(valid[:, None], keys, jnp.uint32(0xFFFFFFFF))
+        cols = jax.lax.sort([skeys[:, w] for w in range(W)], num_keys=W,
+                            is_stable=False)
+        skeys = jnp.stack(cols, axis=1)
+        svalid = ~jnp.all(skeys == jnp.uint32(0xFFFFFFFF), axis=1)
+        uniq, counts, _, num_unique = unique_counts(skeys, svalid, None)
+        return uniq, counts, num_unique
     payloads = (weights,) if weights is not None else ()
     skeys, spayloads, svalid = sort_by_key_rows(keys, payloads, valid)
     w = spayloads[0] if weights is not None else None

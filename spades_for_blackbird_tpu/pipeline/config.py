@@ -1,0 +1,95 @@
+"""Layered assembly configuration with mode overlays.
+
+Replaces the reference's stacked ``.info`` property-tree config
+(common/pipeline/config_struct.{hpp,cpp} ``load_cfg_from_files`` over
+configs/debruijn/config.info + <mode>_mode.info + simplification.info;
+pipeline mode enum at config_struct.hpp:38-50): a base dataclass plus
+per-mode overlay functions mirroring the reference's mode files.
+
+Supported modes (configs/debruijn/*_mode.info):
+isolate (base), meta, plasmid, metaplasmid, rna, single-cell (sc).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+from ..simplify.runner import SimplifyConfig
+from ..path_extend.resolver import PEParams
+
+
+MODES = ("isolate", "meta", "plasmid", "metaplasmid", "rna", "sc")
+
+
+@dataclass
+class AssemblyConfig:
+    mode: str = "isolate"
+    ks: list[int] | None = None          # None = auto ladder
+    careful: bool = False
+    min_contig_length: int | None = None
+    correction_enabled: bool = True      # hammer
+    simplify: SimplifyConfig = field(default_factory=SimplifyConfig)
+    pe: PEParams = field(default_factory=PEParams)
+    # meta (meta_mode.info): two-step repeat resolution with intermediate
+    # contigs re-fed as a trusted library
+    two_step_rr: bool = False
+    use_intermediate_contigs: bool = False
+    # plasmid (plasmid_mode.info + projects/spades/chromosome_removal.cpp)
+    chromosome_removal: bool = False
+    circular_output: bool = False
+    plasmid_min_edge_length: int = 1000
+    plasmid_coverage_uniformity: float = 0.3
+    # rna (rna_mode.info): strand-specific coverage machinery
+    strand_specific: bool = False
+
+
+def _meta(cfg: AssemblyConfig) -> AssemblyConfig:
+    # meta_mode.info: cycle_iter_count 3, ec "{ec_lb 30, icb 2.5}",
+    # harsher tip clipping, two-step RR
+    # meta ec condition "{ec_lb 30, icb 2.5}": max_ec_length = k + 30
+    simp = replace(cfg.simplify, rounds=3, ec_icb=2.5, ec_lb_additive=30)
+    return replace(cfg, mode="meta", two_step_rr=True,
+                   use_intermediate_contigs=True, simplify=simp)
+
+
+def _plasmid(cfg: AssemblyConfig) -> AssemblyConfig:
+    return replace(cfg, mode="plasmid", chromosome_removal=True,
+                   circular_output=True)
+
+
+def _metaplasmid(cfg: AssemblyConfig) -> AssemblyConfig:
+    cfg = _meta(cfg)
+    return replace(cfg, mode="metaplasmid", chromosome_removal=True,
+                   circular_output=True)
+
+
+def _rna(cfg: AssemblyConfig) -> AssemblyConfig:
+    # rna_mode.info: K ladder [33, 49] (options_storage.py K_MERS_RNA),
+    # strand-specific coverage machinery
+    return replace(cfg, mode="rna", ks=cfg.ks or [33, 49],
+                   strand_specific=True)
+
+
+def _sc(cfg: AssemblyConfig) -> AssemblyConfig:
+    # careful single-cell: uneven coverage -> gentler EC thresholds
+    simp = replace(cfg.simplify, ec_icb=1.2)
+    return replace(cfg, mode="sc", simplify=simp)
+
+
+_OVERLAYS = {
+    "isolate": lambda c: c,
+    "meta": _meta,
+    "plasmid": _plasmid,
+    "metaplasmid": _metaplasmid,
+    "rna": _rna,
+    "sc": _sc,
+}
+
+
+def config_for_mode(mode: str = "isolate", **overrides) -> AssemblyConfig:
+    if mode not in _OVERLAYS:
+        raise ValueError(f"unknown mode {mode!r}; choose from {MODES}")
+    cfg = _OVERLAYS[mode](AssemblyConfig())
+    if overrides:
+        cfg = replace(cfg, **overrides)
+    return cfg

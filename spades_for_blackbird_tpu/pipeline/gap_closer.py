@@ -1,0 +1,153 @@
+"""Gap closing: join dead-end edge pairs supported by read pairs.
+
+TPU-native counterpart of the reference's GapClosing stage
+(projects/spades/gap_closer.cpp ``GapCloserPairedIndexFiller``:25 +
+``GapCloser``:170): mate pairs whose ends map onto two different
+dead-end edges witness that the edges are adjacent; the joint is made by
+aligning the tip ends for the best overlap (>= min_overlap exact match,
+mirroring the reference's merge-by-alignment), merging the two edges and
+their conjugates.
+
+The paired evidence comes from the device mapping machinery; the joins
+themselves touch a handful of tips and run host-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..graph.graph import Graph, edge_mask
+from ..ops import dna
+
+
+def close_gaps(g: Graph, codes1, lengths1, codes2, lengths2,
+               min_support: int = 3, min_overlap: int = 10,
+               max_overlap_scan: int = 150) -> tuple[Graph, int]:
+    """One gap-closing round. Returns (graph, n_joined)."""
+    import jax.numpy as jnp
+    from ..mapping import index as eidx
+    from ..mapping import mapper
+
+    k = g.k
+    E = g.capacity
+    alive = np.asarray(edge_mask(g))
+    start_v = np.asarray(g.start_v)
+    end_v = np.asarray(g.end_v)
+    conj = np.asarray(g.conj)
+    lens = np.asarray(g.seq_len)
+
+    v_space = 4 * E + 2
+    out_deg = np.zeros(v_space, np.int64)
+    in_deg = np.zeros(v_space, np.int64)
+    for e in np.nonzero(alive)[0]:
+        out_deg[start_v[e]] += 1
+        in_deg[end_v[e]] += 1
+    # forward tips: dead ends on the right; acceptors: dead starts
+    dead_end = {int(e) for e in np.nonzero(alive)[0]
+                if out_deg[end_v[e]] == 0}
+    dead_start = {int(e) for e in np.nonzero(alive)[0]
+                  if in_deg[start_v[e]] == 0}
+    if not dead_end or not dead_start:
+        return g, 0
+
+    idx = eidx.build_edge_index(g, k)
+    c2rc = dna.revcomp_reads(jnp.asarray(codes2), jnp.asarray(lengths2))
+    m1 = mapper.map_reads(idx, g.seq_len, jnp.asarray(codes1),
+                          jnp.asarray(lengths1), k)
+    m2 = mapper.map_reads(idx, g.seq_len, c2rc, jnp.asarray(lengths2), k)
+    m1 = mapper.normalize_mapping(m1, g.conj)
+    m2 = mapper.normalize_mapping(m2, g.conj)
+
+    oe1 = np.asarray(m1.oriented_edge) // 2
+    oe2 = np.asarray(m2.oriented_edge) // 2
+    ok = np.asarray(m1.mapped) & np.asarray(m2.mapped) & (oe1 != oe2)
+    support: dict[tuple[int, int], int] = {}
+    for e1, e2 in zip(oe1[ok], oe2[ok]):
+        pair = (int(e1), int(e2))
+        if pair[0] in dead_end and pair[1] in dead_start:
+            support[pair] = support.get(pair, 0) + 1
+
+    flat = np.asarray(g.seq_flat)
+    starts = np.asarray(g.seq_start)
+
+    def seq_of(e):
+        return flat[starts[e]:starts[e] + lens[e]]
+
+    joins = []
+    used = set()
+    for (e1, e2), cnt in sorted(support.items(), key=lambda kv: -kv[1]):
+        if cnt < min_support:
+            continue
+        if e1 in used or e2 in used or conj[e1] in used or conj[e2] in used:
+            continue
+        if e2 == int(conj[e1]):
+            continue  # joining an edge to its own conjugate = hairpin
+        s1, s2 = seq_of(e1), seq_of(e2)
+        scan = min(max_overlap_scan, len(s1), len(s2))
+        best_ov = 0
+        for ov in range(scan, min_overlap - 1, -1):
+            if (s1[-ov:] == s2[:ov]).all():
+                best_ov = ov
+                break
+        if best_ov == 0:
+            continue
+        joins.append((int(e1), int(e2), best_ov))
+        used.update({e1, e2, int(conj[e1]), int(conj[e2])})
+
+    if not joins:
+        return g, 0
+
+    # apply joins host-side: rebuild arrays with merged sequences
+    new_alive = alive.copy()
+    seqs = {}
+    covs = np.asarray(g.cov).copy()
+    new_start_v = start_v.copy()
+    new_end_v = end_v.copy()
+    new_conj = conj.copy()
+    for e1, e2, ov in joins:
+        merged = np.concatenate([seq_of(e1), seq_of(e2)[ov:]])
+        seqs[e1] = merged
+        # conjugate join mirrors: conj(e2) + conj(e1)
+        ce1, ce2 = int(conj[e1]), int(conj[e2])
+        seqs[ce1] = np.asarray(
+            dna.revcomp_codes(jnp.asarray(merged)))
+        w1, w2 = max(lens[e1] - k, 1), max(lens[e2] - k, 1)
+        covs[e1] = covs[ce1] = (covs[e1] * w1 + covs[e2] * w2) / (w1 + w2)
+        new_end_v[e1] = end_v[e2]
+        new_start_v[ce1] = start_v[ce2]
+        new_conj[e1] = ce1
+        new_conj[ce1] = e1
+        new_alive[e2] = False
+        new_alive[ce2] = False
+
+    # repack flat buffer (id order == position order invariant)
+    new_lens = lens.copy()
+    for e, s in seqs.items():
+        new_lens[e] = len(s)
+    new_lens[~new_alive] = 0
+    new_starts = np.zeros(E, np.int64)
+    acc = 0
+    FLAT = flat.shape[0]
+    new_flat = np.zeros(FLAT, np.uint8)
+    for e in range(E):
+        if not new_alive[e]:
+            continue
+        s = seqs.get(e, flat[starts[e]:starts[e] + lens[e]])
+        if acc + len(s) > FLAT:
+            return g, 0  # no room; skip gap closing this round
+        new_starts[e] = acc
+        new_flat[acc:acc + len(s)] = s
+        acc += len(s)
+
+    import jax.numpy as jnp2
+    g2 = g._replace(
+        seq_flat=jnp2.asarray(new_flat),
+        seq_start=jnp2.asarray(new_starts.astype(np.int32)),
+        seq_len=jnp2.asarray(new_lens.astype(np.int32)),
+        cov=jnp2.asarray(covs),
+        start_v=jnp2.asarray(new_start_v),
+        end_v=jnp2.asarray(new_end_v),
+        conj=jnp2.asarray(new_conj),
+        alive=jnp2.asarray(new_alive),
+    )
+    return g2, len(joins)

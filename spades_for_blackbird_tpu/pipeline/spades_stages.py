@@ -65,11 +65,17 @@ def make_error_correction(log, k: int = 21):
     return Stage("error_correction", run)
 
 
-def make_iteration(k: int, log, min_contig_length=None):
+def make_iteration(k: int, log, min_contig_length=None, simplify_cfg=None,
+                   name=None):
     def run(ctx: PipelineContext):
         from . import assemble
+        from ..simplify import runner
+        cfg = simplify_cfg
+        if cfg is not None and ctx.read_length:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, read_length=ctx.read_length)
         res = assemble.assemble_single_k(
-            ctx.codes, ctx.lengths, k,
+            ctx.codes, ctx.lengths, k, cfg=cfg,
             min_contig_length=min_contig_length,
             extra_sequences=[s for s, _ in ctx.contigs])
         ctx.contigs = res.contigs
@@ -77,7 +83,65 @@ def make_iteration(k: int, log, min_contig_length=None):
         ctx.genomic_info = res.genomic_info
         ctx.params.setdefault("ks_done", []).append(k)
         log(f"K={k}: {res.stats}")
-    return Stage(f"k{k}", run)
+    return Stage(name or f"k{k}", run)
+
+
+def make_chromosome_removal(log, cfg):
+    def run(ctx: PipelineContext):
+        from ..models import plasmid
+        from ..io import fasta
+        if ctx.graph is None:
+            return
+        g = plasmid.remove_chromosomal(
+            ctx.graph, long_edge_threshold=cfg.plasmid_min_edge_length,
+            coverage_window=cfg.plasmid_coverage_uniformity)
+        ctx.graph = g
+        ctx.contigs = fasta.graph_contigs(g, min_length=2 * g.k)
+        log(f"chromosome removal: {len(ctx.contigs)} candidate edges left")
+    return Stage("chromosome_removal", run)
+
+
+def _paired_mate_arrays(ctx: PipelineContext):
+    import jax.numpy as jnp
+    c, l = np.asarray(ctx.codes), np.asarray(ctx.lengths)
+    idx1 = np.concatenate([np.arange(s1, s1 + n1)
+                           for s1, n1, _, _ in ctx.paired_ranges])
+    idx2 = np.concatenate([np.arange(s2, s2 + n2)
+                           for _, _, s2, n2 in ctx.paired_ranges])
+    return (jnp.asarray(c[idx1]), jnp.asarray(l[idx1]),
+            jnp.asarray(c[idx2]), jnp.asarray(l[idx2]))
+
+
+def make_gap_closing(log):
+    def run(ctx: PipelineContext):
+        from . import gap_closer
+        if not ctx.paired_ranges or ctx.graph is None:
+            log("gap closing skipped (no paired libraries)")
+            return
+        c1, l1, c2, l2 = _paired_mate_arrays(ctx)
+        g, joined = gap_closer.close_gaps(ctx.graph, c1, l1, c2, l2)
+        ctx.graph = g
+        if joined:
+            from ..io import fasta
+            ctx.contigs = fasta.graph_contigs(
+                g, min_length=2 * g.k)
+        log(f"closed {joined} gaps")
+    return Stage("gap_closing", run)
+
+
+def make_mismatch_correction(log):
+    def run(ctx: PipelineContext):
+        from . import mismatch_correction
+        if ctx.graph is None:
+            return
+        g, n = mismatch_correction.correct_mismatches(
+            ctx.graph, np.asarray(ctx.codes), np.asarray(ctx.lengths))
+        ctx.graph = g
+        if n:
+            from ..io import fasta
+            ctx.contigs = fasta.graph_contigs(g, min_length=2 * g.k)
+        log(f"corrected {n} mismatching bases")
+    return Stage("mismatch_correction", run)
 
 
 def make_repeat_resolution(log):
@@ -88,23 +152,14 @@ def make_repeat_resolution(log):
             log("no paired libraries: RR skipped (contig paths only, "
                 "repeat_resolving.cpp:62 'rr disabled' branch)")
             return
-        import jax.numpy as jnp
-        c, l = ctx.codes, ctx.lengths
-        idx1 = np.concatenate([np.arange(s1, s1 + n1)
-                               for s1, n1, _, _ in ctx.paired_ranges])
-        idx2 = np.concatenate([np.arange(s2, s2 + n2)
-                               for _, _, s2, n2 in ctx.paired_ranges])
-        final = assemble.repeat_resolution(
-            ctx.graph, jnp.asarray(np.asarray(c)[idx1]),
-            jnp.asarray(np.asarray(l)[idx1]),
-            jnp.asarray(np.asarray(c)[idx2]),
-            jnp.asarray(np.asarray(l)[idx2]))
+        c1, l1, c2, l2 = _paired_mate_arrays(ctx)
+        final = assemble.repeat_resolution(ctx.graph, c1, l1, c2, l2)
         ctx.final_contigs = final
         log(f"resolved {len(final)} paths")
     return Stage("repeat_resolution", run)
 
 
-def make_contig_output(output_dir: str, log):
+def make_contig_output(output_dir: str, log, cfg=None):
     def run(ctx: PipelineContext):
         from ..io import fasta, gfa
         fasta.write_contigs_fasta(
@@ -114,23 +169,59 @@ def make_contig_output(output_dir: str, log):
             os.path.join(output_dir, "contigs.fasta"), final)
         fasta.write_contigs_fasta(
             os.path.join(output_dir, "scaffolds.fasta"), final)
+        if cfg is not None and cfg.circular_output and ctx.graph is not None:
+            from ..models import plasmid
+            circ = plasmid.circular_contigs(ctx.graph)
+            plasmid.write_plasmid_fasta(
+                os.path.join(output_dir, "contigs.circular.fasta"), circ)
+            log(f"circular output: {sum(1 for _, _, c in circ if c)} "
+                f"circular of {len(circ)} candidates")
         if ctx.graph is not None:
             gfa.write_gfa(os.path.join(
                 output_dir, "assembly_graph_with_scaffolds.gfa"), ctx.graph)
+            from ..io import fastg
+            fastg.write_fastg(os.path.join(
+                output_dir, "assembly_graph.fastg"), ctx.graph)
         log(f"wrote {len(final)} contigs to {output_dir}")
     return Stage("contig_output", run)
 
 
-def build_stage_list(args, ks, log):
-    """pipeline.cpp:250-285 equivalent."""
+def build_stage_list(args, ks, log, cfg=None):
+    """pipeline.cpp:250-285 equivalent (mode-aware)."""
+    from .config import AssemblyConfig
+    if cfg is None:
+        cfg = AssemblyConfig()
     pe_pairs = list(zip(args.pe1, args.pe2))
     stages = [make_read_conversion(pe_pairs, args.interlaced, args.single,
                                    log)]
-    if not args.only_assembler:
+    if not args.only_assembler and cfg.correction_enabled:
         stages.append(make_error_correction(log))
     for k in ks:
-        stages.append(make_iteration(k, log,
-                                     min_contig_length=args.min_contig_length))
+        stages.append(make_iteration(
+            k, log, min_contig_length=args.min_contig_length,
+            simplify_cfg=cfg.simplify))
+    if pe_pairs or args.interlaced:
+        stages.append(make_gap_closing(log))
+    if cfg.careful or getattr(args, "careful", False):
+        stages.append(make_mismatch_correction(log))
+    if cfg.chromosome_removal:
+        stages.append(make_chromosome_removal(log, cfg))
     stages.append(make_repeat_resolution(log))
-    stages.append(make_contig_output(args.output_dir, log))
+    if cfg.two_step_rr:
+        # meta: SecondPhaseSetup (projects/spades/second_phase_setup.cpp)
+        # re-feeds preliminary RR contigs into a final iteration + RR
+        def second_phase(ctx: PipelineContext):
+            from . import assemble
+            if ctx.graph is None or not ctx.final_contigs:
+                return
+            res = assemble.assemble_single_k(
+                ctx.codes, ctx.lengths, ks[-1],
+                extra_sequences=[s for s, _ in ctx.final_contigs])
+            ctx.graph = res.graph
+            ctx.contigs = res.contigs
+            log(f"second phase: {res.stats}")
+        stages.append(Stage("second_phase_setup", second_phase))
+        stages.append(make_repeat_resolution(log))
+        stages[-1] = Stage("repeat_resolution_2", stages[-1].fn)
+    stages.append(make_contig_output(args.output_dir, log, cfg))
     return stages

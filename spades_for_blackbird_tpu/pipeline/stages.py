@@ -173,10 +173,12 @@ class StageManager:
                 ctx = PipelineContext.load(
                     os.path.join(self.saves_dir, prev))
 
+        from ..utils import timetrace
         for stage in self.stages[start_idx:]:
             t0 = time.time()
             self.log(f"== STAGE {stage.name}")
-            stage.fn(ctx)
+            with timetrace.scope(f"stage:{stage.name}"):
+                stage.fn(ctx)
             self.log(f"== STAGE {stage.name} done in {time.time()-t0:.1f}s")
             if self.checkpoints != "none":
                 sdir = os.path.join(self.saves_dir, stage.name)

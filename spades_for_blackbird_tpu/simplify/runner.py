@@ -46,6 +46,9 @@ class SimplifyConfig:
     # erroneous connection remover (ec): { to_ec_lb 0.8, icb auto }
     ec_to_lb: float = 0.8
     ec_icb: float = 1.5  # multiplier on the detected bound (isolate mode)
+    # when set, max_ec_length = k + ec_lb_additive instead of the
+    # tip-originated formula (the "ec_lb N" condition form, used by meta)
+    ec_lb_additive: int | None = None
     # cycle (cycle_iter_count)
     rounds: int = 10
     # ier with use_rl_for_max_length_any_cov: isolated edges up to
@@ -77,7 +80,10 @@ def simplify_graph(g: Graph, v_space: int, ec_bound: float,
     rl = cfg.read_length
     auto_cb = max(ec_bound, 1.0)
     bulge_len = int(cfg.bulge_length_coeff * k)
-    ec_len = 2 * _tip_length(k, rl, cfg.ec_to_lb) - 1
+    if cfg.ec_lb_additive is not None:
+        ec_len = k + cfg.ec_lb_additive
+    else:
+        ec_len = 2 * _tip_length(k, rl, cfg.ec_to_lb) - 1
     final_ec_threshold = cfg.ec_icb * auto_cb
 
     for i in range(cfg.rounds):

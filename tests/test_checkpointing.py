@@ -40,12 +40,12 @@ def test_stop_after_and_continue(tmp_path):
 
 def test_restart_from(tmp_path):
     out = str(tmp_path / "out")
-    rc = run_cli(["--test", "-o", out, "-k", "21,33", "--only-assembler"])
+    rc = run_cli(["--test", "-o", out, "-k", "21", "--only-assembler"])
     assert rc == 0
     first = open(f"{out}/contigs.fasta").read()
-    # restart from k33 re-runs k33 onward using k21 saves
-    rc = run_cli(["--test", "-o", out, "-k", "21,33", "--only-assembler",
-                  "--restart-from", "k33"])
+    # restart from repeat_resolution using the kept k21 saves
+    rc = run_cli(["--test", "-o", out, "-k", "21", "--only-assembler",
+                  "--restart-from", "repeat_resolution"])
     assert rc == 0
     assert open(f"{out}/contigs.fasta").read() == first
 

@@ -1,0 +1,93 @@
+"""Standalone tool CLI tests (SURVEY.md §2.10 binaries)."""
+
+import numpy as np
+import pytest
+
+import naive_debruijn as nd
+from spades_for_blackbird_tpu import tools
+from spades_for_blackbird_tpu.ops import dna
+
+
+def random_dna(n, seed):
+    rng = np.random.default_rng(seed)
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+@pytest.fixture
+def reads_file(tmp_path):
+    genome = random_dna(300, 1)
+    reads = [genome[i:i + 50] for i in range(0, 251, 5)]
+    p = tmp_path / "reads.fa"
+    p.write_text("".join(f">r{i}\n{r}\n" for i, r in enumerate(reads)))
+    return str(p), genome
+
+
+def test_gbuilder(reads_file, tmp_path):
+    path, genome = reads_file
+    gfa_out = str(tmp_path / "g.gfa")
+    uni_out = str(tmp_path / "u.fasta")
+    rc = tools.main(["gbuilder", path, "-k", "15", "--gfa", gfa_out,
+                     "--unitigs", uni_out])
+    assert rc == 0
+    from spades_for_blackbird_tpu.io import fastq
+    _, seqs = fastq.read_sequences(uni_out)
+    assert genome in seqs or nd.rc(genome) in seqs
+    assert open(gfa_out).read().startswith("H\t")
+
+
+def test_kmercount(reads_file, tmp_path, capsys):
+    path, genome = reads_file
+    out = str(tmp_path / "counts.tsv")
+    rc = tools.main(["kmercount", path, "-k", "15", "-o", out])
+    assert rc == 0
+    lines = open(out).read().splitlines()
+    import naive_debruijn as nd2
+    reads = [genome[i:i + 50] for i in range(0, 251, 5)]
+    expect = nd2.canonical_counts(reads, 15)
+    got = dict(l.split("\t") for l in lines)
+    assert len(got) == len(expect)
+    for km, c in expect.items():
+        assert int(got[km]) == c
+
+
+def test_kmer_estimating(reads_file, capsys):
+    path, genome = reads_file
+    rc = tools.main(["kmer-estimating", path, "-k", "15"])
+    assert rc == 0
+    est = float(capsys.readouterr().out.strip())
+    true = 300 - 15 + 1  # distinct canonical 15-mers of the genome
+    assert abs(est - true) / true < 0.1
+
+
+def test_read_filter(tmp_path):
+    genome = random_dna(300, 2)
+    good = [genome[i:i + 50] for i in range(0, 250, 5)]
+    junk = [random_dna(50, 100 + i) for i in range(3)]  # unique kmers
+    p = tmp_path / "reads.fa"
+    p.write_text("".join(f">r{i}\n{r}\n"
+                         for i, r in enumerate(good + junk)))
+    out = str(tmp_path / "filtered.fa")
+    rc = tools.main(["read-filter", str(p), "-k", "15",
+                     "--min-coverage", "2", "-o", out])
+    assert rc == 0
+    from spades_for_blackbird_tpu.io import fastq
+    _, kept = fastq.read_sequences(out)
+    assert all(j not in kept for j in junk)
+    assert good[10] in kept
+
+
+def test_gsimplifier(reads_file, tmp_path):
+    path, genome = reads_file
+    gfa1 = str(tmp_path / "in.gfa")
+    gfa2 = str(tmp_path / "out.gfa")
+    assert tools.main(["gbuilder", path, "-k", "15", "--gfa", gfa1]) == 0
+    rc = tools.main(["gsimplifier", gfa1, gfa2])
+    assert rc == 0
+    from spades_for_blackbird_tpu.io import gfa as gfa_io
+    segs, _ = gfa_io.read_gfa(gfa2)
+    seqs = {s for s, _ in segs.values()}
+    assert genome in seqs or nd.rc(genome) in seqs
+
+
+def test_unknown_tool():
+    assert tools.main(["bogus"]) == 2
