@@ -62,6 +62,44 @@ def filter_min_count(table: KmerTable, min_count: jax.Array) -> KmerTable:
     return KmerTable(kmers, counts, num)
 
 
+def count_kmers_chunked(codes, lengths, k: int,
+                        chunk_reads: int = 1 << 20) -> KmerTable:
+    """Count k-mers of a batch too large for device memory in one sort.
+
+    The reference splits k-mers into disk bucket files and merges sorted
+    runs (kmer_index_builder.hpp:220-366); here each read chunk counts
+    on-device and the sorted unique tables merge pairwise (a sorted-run
+    merge expressed as concat + re-sort of already-unique rows, which is
+    a fraction of the raw stream size). Host RAM holds only the running
+    table.
+    """
+    import numpy as np
+    codes = np.asarray(codes)
+    lengths = np.asarray(lengths)
+    R = codes.shape[0]
+    if R <= chunk_reads:
+        return count_kmers(jnp.asarray(codes), jnp.asarray(lengths), k)
+    def pow2_trim(t: KmerTable) -> KmerTable:
+        # round capacity to the next power of two so merge shapes (and
+        # their jit compilations) stay bucketed instead of unique per call
+        cap = 1 << max(1, int(t.num) - 1).bit_length()
+        cap = min(cap, t.capacity)
+        return KmerTable(t.kmers[:cap], t.counts[:cap], t.num)
+
+    table = None
+    for lo in range(0, R, chunk_reads):
+        hi = min(lo + chunk_reads, R)
+        c, l = codes[lo:hi], lengths[lo:hi]
+        if hi - lo < chunk_reads:  # pad the tail chunk to a stable shape
+            pad = chunk_reads - (hi - lo)
+            c = np.concatenate([c, np.full((pad, c.shape[1]), 4, c.dtype)])
+            l = np.concatenate([l, np.zeros(pad, l.dtype)])
+        part = pow2_trim(count_kmers(jnp.asarray(c), jnp.asarray(l), k))
+        table = part if table is None else pow2_trim(
+            merge_tables(table, part))
+    return table
+
+
 @jax.jit
 def merge_tables(a: KmerTable, b: KmerTable) -> KmerTable:
     """Merge two counted tables (counts add). Capacity = sum of inputs."""

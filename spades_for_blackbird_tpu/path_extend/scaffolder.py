@@ -1,0 +1,158 @@
+"""Scaffolding: join resolved paths across gaps using paired distances.
+
+Counterpart of the reference's scaffolding machinery
+(modules/path_extend/scaffolder2015/scaffold_graph.{hpp,cpp} +
+ScaffoldingPathExtender at path_extender.hpp:580, gap estimation from
+clustered paired info): path ends supported by distance-consistent mate
+pairs but with no graph connection are joined with an ``N`` gap sized by
+the distance estimate (scaffold breaking at gaps is then the reference's
+breaking_scaffolds_stage in reverse).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..graph.graph import Graph
+from .resolver import PathSet
+
+
+@dataclass
+class ScaffoldParams:
+    min_weight: float = 5.0       # pair support to accept a join
+    max_gap: int = 10000
+    min_gap_run: int = 1          # emitted N run is at least this long
+
+
+def scaffold_paths(g: Graph, ps: PathSet, paired,
+                   params: ScaffoldParams | None = None
+                   ) -> list[list[tuple[int, int]]]:
+    """Join paths into scaffolds.
+
+    ``paired``: clustered PairedIndex over *forward edge ids* (even
+    oriented ids, mapper.normalize_mapping convention).
+
+    Returns scaffolds as lists of (edge_id, gap_before) — gap_before is
+    the N-gap inserted before the edge (0 for the first edge and for
+    graph-adjacent edges).
+    """
+    if params is None:
+        params = ScaffoldParams()
+    seq_len = np.asarray(g.seq_len)
+    conj = np.asarray(g.conj)
+    k = g.k
+
+    n = int(paired.num)
+    e1 = np.asarray(paired.e1)[:n] // 2
+    e2 = np.asarray(paired.e2)[:n] // 2
+    dist = np.asarray(paired.dist)[:n]
+    weight = np.asarray(paired.weight)[:n]
+
+    paths = [list(p) for p in ps.paths]
+
+    def oriented(i: int, flip: bool) -> list[int]:
+        p = paths[i]
+        return [int(conj[e]) for e in reversed(p)] if flip else p
+
+    # endpoint maps over both orientations of every path
+    last_of: dict[int, tuple[int, bool]] = {}
+    first_of: dict[int, tuple[int, bool]] = {}
+    for i in range(len(paths)):
+        for flip in (False, True):
+            op = oriented(i, flip)
+            last_of.setdefault(op[-1], (i, flip))
+            first_of.setdefault(op[0], (i, flip))
+
+    joins = []
+    for j in range(n):
+        a, b = int(e1[j]), int(e2[j])
+        if weight[j] < params.min_weight or a == b:
+            continue
+        # a precedes b on the forward strand; gap = d - len(a) + k (the
+        # conjugate view gives the same value)
+        gap = int(dist[j]) - int(seq_len[a]) + k
+        if not (-k <= gap <= params.max_gap):
+            continue
+        if a in last_of and b in first_of:
+            (i, fi), (jdx, fj) = last_of[a], first_of[b]
+            if i != jdx:
+                joins.append((float(weight[j]), (i, fi), (jdx, fj), gap))
+
+    joins.sort(key=lambda t: -t[0])
+    used_tail = set()   # path ids whose (oriented) tail is taken
+    used_head = set()
+    next_of: dict[tuple[int, bool], tuple[tuple[int, bool], int]] = {}
+    for w, src, dst, gap in joins:
+        if src[0] in used_tail or dst[0] in used_head:
+            continue
+        # a path may appear in only one orientation overall
+        if (src[0], not src[1]) in next_of or \
+                any(d[0] == src[0] and d[1] != src[1]
+                    for d, _ in next_of.values()):
+            continue
+        used_tail.add(src[0])
+        used_head.add(dst[0])
+        next_of[src] = (dst, gap)
+
+    # chain heads: non-dst paths, started in the orientation that has an
+    # outgoing join (or forward if standalone)
+    heads = []
+    for i in range(len(paths)):
+        if i in used_head:
+            continue
+        flip = (i, True) in next_of
+        heads.append((i, flip))
+
+    scaffolds = []
+    consumed = set()
+    for h in heads:
+        chain: list[tuple[int, int]] = []
+        node = h
+        gap_in = 0
+        while node[0] not in consumed:
+            consumed.add(node[0])
+            for idx, e in enumerate(oriented(*node)):
+                chain.append((e, gap_in if idx == 0 else 0))
+                gap_in = 0
+            if node not in next_of:
+                break
+            node, gap_in = next_of[node]
+        scaffolds.append(chain)
+    for i in range(len(paths)):
+        if i not in consumed:
+            scaffolds.append([(e, 0) for e in paths[i]])
+    return scaffolds
+
+
+def scaffolds_to_contigs(g: Graph, scaffolds,
+                         min_gap_run: int = 1) -> list[tuple[str, float]]:
+    """Render scaffolds as sequences with N gaps (io_support.cpp's
+    scaffold writing; gaps clamp to at least min_gap_run Ns)."""
+    from ..ops import dna
+    flat = np.asarray(g.seq_flat)
+    starts = np.asarray(g.seq_start)
+    lens = np.asarray(g.seq_len)
+    covs = np.asarray(g.cov)
+    k = g.k
+    out = []
+    for chain in scaffolds:
+        seq = ""
+        wsum, wlen = 0.0, 0
+        for idx, (e, gap) in enumerate(chain):
+            s = dna.decode_codes(flat[starts[e]:starts[e] + lens[e]])
+            if idx == 0:
+                seq = s
+            elif gap > 0:
+                seq += "N" * max(gap, min_gap_run) + s
+            elif gap <= 0:
+                # distance says slight overlap/adjacency: butt-join minus
+                # the k overlap when graph-adjacent (gap == -k)
+                ov = min(-gap, len(s)) if gap < 0 else 0
+                seq += s[ov:] if ov else s
+            wsum += covs[e] * lens[e]
+            wlen += int(lens[e])
+        out.append((seq, wsum / max(wlen, 1)))
+    out.sort(key=lambda sc: (-len(sc[0]), sc[0]))
+    return out

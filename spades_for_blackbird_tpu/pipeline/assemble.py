@@ -100,8 +100,8 @@ def default_k_ladder(read_length: int) -> list[int]:
     return K_MERS_SHORT
 
 
-def repeat_resolution(g, codes1, lengths1, codes2, lengths2
-                      ) -> list[tuple[str, float]]:
+def repeat_resolution(g, codes1, lengths1, codes2, lengths2,
+                      with_scaffolds: bool = False):
     """exSPAnder repeat resolution over the final graph using one
     paired-end library (the RepeatResolution stage,
     projects/spades/repeat_resolving.cpp:62).
@@ -126,14 +126,21 @@ def repeat_resolution(g, codes1, lengths1, codes2, lengths2
     stats = insert_size.estimate_insert_size(m1, m2, np.asarray(lengths2))
     if stats.count == 0:
         from ..io import fasta
-        return fasta.graph_contigs(g, min_length=2 * k)
+        contigs = fasta.graph_contigs(g, min_length=2 * k)
+        return (contigs, contigs) if with_scaffolds else contigs
     mean_l2 = float(np.asarray(lengths2).mean())
     pi = pair_info.fill_paired_index(
         m1, m2, jnp.int32(int(round(stats.median - mean_l2))))
     spread = max(5, int(3 * stats.mad))
     clustered = pair_info.cluster_distances(pi, jnp.int32(spread))
     ps = resolver.resolve_paths(g, clustered)
-    return resolver.paths_to_contigs(g, ps)
+    contigs = resolver.paths_to_contigs(g, ps)
+    if not with_scaffolds:
+        return contigs
+    from ..path_extend import scaffolder
+    chains = scaffolder.scaffold_paths(g, ps, clustered)
+    scaffolds = scaffolder.scaffolds_to_contigs(g, chains)
+    return contigs, scaffolds
 
 
 def assemble_multi_k(codes, lengths, ks: list[int] | None = None,

@@ -153,9 +153,11 @@ def make_repeat_resolution(log):
                 "repeat_resolving.cpp:62 'rr disabled' branch)")
             return
         c1, l1, c2, l2 = _paired_mate_arrays(ctx)
-        final = assemble.repeat_resolution(ctx.graph, c1, l1, c2, l2)
+        final, scaffolds = assemble.repeat_resolution(
+            ctx.graph, c1, l1, c2, l2, with_scaffolds=True)
         ctx.final_contigs = final
-        log(f"resolved {len(final)} paths")
+        ctx.scaffolds = scaffolds
+        log(f"resolved {len(final)} paths, {len(scaffolds)} scaffolds")
     return Stage("repeat_resolution", run)
 
 
@@ -168,7 +170,8 @@ def make_contig_output(output_dir: str, log, cfg=None):
         fasta.write_contigs_fasta(
             os.path.join(output_dir, "contigs.fasta"), final)
         fasta.write_contigs_fasta(
-            os.path.join(output_dir, "scaffolds.fasta"), final)
+            os.path.join(output_dir, "scaffolds.fasta"),
+            ctx.scaffolds or final)
         if cfg is not None and cfg.circular_output and ctx.graph is not None:
             from ..models import plasmid
             circ = plasmid.circular_contigs(ctx.graph)

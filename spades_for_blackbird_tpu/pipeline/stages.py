@@ -37,6 +37,7 @@ class PipelineContext:
         self.genomic_info = None                   # coverage_model.GenomicInfo
         self.contigs: list[tuple[str, float]] = [] # current contig set
         self.final_contigs: list[tuple[str, float]] = []
+        self.scaffolds: list[tuple[str, float]] = []
         self.params: dict = {}                     # misc (ks, is_stats, ...)
 
     # ---- serialization (io/binary/graph_pack.cpp equivalent) ----
@@ -59,6 +60,7 @@ class PipelineContext:
             "read_length": self.read_length,
             "contigs": self.contigs,
             "final_contigs": self.final_contigs,
+            "scaffolds": self.scaffolds,
             "params": self.params,
             "genomic_info": (vars(self.genomic_info)
                              if self.genomic_info else None),
@@ -95,6 +97,7 @@ class PipelineContext:
         ctx.read_length = meta["read_length"]
         ctx.contigs = [tuple(c) for c in meta["contigs"]]
         ctx.final_contigs = [tuple(c) for c in meta["final_contigs"]]
+        ctx.scaffolds = [tuple(c) for c in meta.get("scaffolds", [])]
         ctx.params = meta["params"]
         if meta["genomic_info"]:
             ctx.genomic_info = GenomicInfo(**meta["genomic_info"])
