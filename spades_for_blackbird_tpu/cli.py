@@ -35,6 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="file with unpaired reads")
     p.add_argument("--12", dest="interlaced", action="append", default=[],
                    help="file with interlaced paired-end reads")
+    p.add_argument("--pacbio", action="append", default=[],
+                   help="file with PacBio reads (hybrid assembly)")
+    p.add_argument("--nanopore", action="append", default=[],
+                   help="file with Nanopore reads (hybrid assembly)")
+    p.add_argument("--sanger", action="append", default=[],
+                   help="file with Sanger reads (hybrid assembly)")
     p.add_argument("-o", dest="output_dir", required=True,
                    help="output directory")
     p.add_argument("-k", dest="k_list", default=None,

@@ -144,6 +144,25 @@ def make_mismatch_correction(log):
     return Stage("mismatch_correction", run)
 
 
+def make_hybrid_aligning(long_read_files, log, name="hybrid_aligning"):
+    def run(ctx: PipelineContext):
+        from ..io import fastq
+        from ..mapping import long_read
+        if ctx.graph is None:
+            return
+        batches = [fastq.load_reads(p) for p in long_read_files]
+        b = fastq.concat_batches(batches)
+        g, joined = long_read.hybrid_close_gaps(
+            ctx.graph, b.codes, b.lengths)
+        ctx.graph = g
+        if joined:
+            from ..io import fasta
+            ctx.contigs = fasta.graph_contigs(g, min_length=2 * g.k)
+        log(f"hybrid gap closing: {joined} joins from "
+            f"{b.num_reads} long reads")
+    return Stage(name, run)
+
+
 def make_repeat_resolution(log):
     def run(ctx: PipelineContext):
         from . import assemble
@@ -205,6 +224,16 @@ def build_stage_list(args, ks, log, cfg=None):
             simplify_cfg=cfg.simplify))
     if pe_pairs or args.interlaced:
         stages.append(make_gap_closing(log))
+    long_reads = (getattr(args, "pacbio", []) +
+                  getattr(args, "nanopore", []) +
+                  getattr(args, "sanger", []))
+    if long_reads:
+        # the reference runs HybridLibrariesAligning twice
+        # (pipeline.cpp:271-274): once before and once after pair-based
+        # cleanup, so second-round joins see the improved graph
+        stages.append(make_hybrid_aligning(long_reads, log))
+        stages.append(make_hybrid_aligning(long_reads, log,
+                                           name="hybrid_aligning_2"))
     if cfg.careful or getattr(args, "careful", False):
         stages.append(make_mismatch_correction(log))
     if cfg.chromosome_removal:

@@ -154,12 +154,46 @@ def cmd_gsimplifier(argv):
     return 0
 
 
+def cmd_gmapper(argv):
+    """Long-read-to-graph aligner (projects/gmapper + spaligner's batch
+    alignment, align_longreads.cpp): reads + GFA -> edge-path TSV."""
+    p = argparse.ArgumentParser(prog="gmapper")
+    p.add_argument("graph_gfa")
+    p.add_argument("reads", nargs="+")
+    p.add_argument("-o", "--output", default="-")
+    p.add_argument("--seed-k", type=int, default=13)
+    a = p.parse_args(argv)
+    from .graph.from_gfa import graph_from_gfa
+    from .mapping import long_read
+    g = graph_from_gfa(a.graph_gfa)
+    b = _load(a.reads)
+    als = long_read.align_long_reads(g, b.codes, b.lengths,
+                                     seed_k=a.seed_k)
+    out = sys.stdout if a.output == "-" else open(a.output, "w")
+    out.write("#read\tedge_path\tread_ranges\tedge_ranges\tvotes\n")
+    for al in als:
+        if not al.chain:
+            continue
+        out.write("{}\t{}\t{}\t{}\t{}\n".format(
+            al.read_id,
+            ",".join(str(h.edge) for h in al.chain),
+            ",".join(f"{h.read_lo}-{h.read_hi}" for h in al.chain),
+            ",".join(f"{h.edge_lo}-{h.edge_hi}" for h in al.chain),
+            ",".join(str(h.votes) for h in al.chain)))
+    if out is not sys.stdout:
+        out.close()
+    print(f"aligned {sum(1 for al in als if al.chain)}/{len(als)} reads",
+          file=sys.stderr)
+    return 0
+
+
 TOOLS = {
     "gbuilder": cmd_gbuilder,
     "kmercount": cmd_kmercount,
     "kmer-estimating": cmd_kmer_estimating,
     "read-filter": cmd_read_filter,
     "gsimplifier": cmd_gsimplifier,
+    "gmapper": cmd_gmapper,
 }
 
 

@@ -1,0 +1,109 @@
+"""Long-read alignment + hybrid gap closing tests
+(modules/alignment/pacbio GAligner + hybrid_aligning.cpp equivalents)."""
+
+import numpy as np
+import pytest
+
+import naive_debruijn as nd
+from spades_for_blackbird_tpu.graph import construct
+from spades_for_blackbird_tpu.io.fasta import graph_contigs
+from spades_for_blackbird_tpu.mapping import long_read
+from spades_for_blackbird_tpu.ops import dna
+
+K = 15
+
+
+def random_dna(n, seed):
+    rng = np.random.default_rng(seed)
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+def noisy(s, rate, seed):
+    rng = np.random.default_rng(seed)
+    out = []
+    for ch in s:
+        r = rng.random()
+        if r < rate / 3:
+            continue  # deletion
+        if r < 2 * rate / 3:
+            out.append("ACGT"[int(rng.integers(4))])  # substitution
+            continue
+        if r < rate:
+            out.append(ch)
+            out.append("ACGT"[int(rng.integers(4))])  # insertion
+            continue
+        out.append(ch)
+    return "".join(out)
+
+
+def tile(s, L=50, step=4):
+    reads = [s[i:i + L] for i in range(0, len(s) - L + 1, step)]
+    reads.append(s[len(s) - L:])
+    return reads
+
+
+def test_align_clean_long_read_single_edge():
+    genome = random_dna(500, 1)
+    codes, lengths = dna.encode_reads(tile(genome))
+    g = construct.graph_from_reads(codes, lengths, K)
+    lr = genome[50:450]
+    lc, ll = dna.encode_reads([lr])
+    als = long_read.align_long_reads(g, lc, ll)
+    assert len(als) == 1 and len(als[0].chain) == 1
+    h = als[0].chain[0]
+    assert h.votes > 300
+    assert h.edge_lo == pytest.approx(50, abs=5)
+
+
+def test_align_noisy_long_read():
+    genome = random_dna(600, 2)
+    codes, lengths = dna.encode_reads(tile(genome))
+    g = construct.graph_from_reads(codes, lengths, K)
+    lr = noisy(genome[30:570], rate=0.10, seed=3)
+    lc, ll = dna.encode_reads([lr])
+    als = long_read.align_long_reads(g, lc, ll)
+    assert len(als[0].chain) == 1
+    assert als[0].chain[0].votes >= 10
+
+
+def test_hybrid_gap_closing():
+    genome = random_dna(900, 4)
+    # short reads cover [0,400) and [500,900): 100bp sequencing hole
+    reads = tile(genome[:400]) + tile(genome[500:])
+    codes, lengths = dna.encode_reads(reads)
+    g = construct.graph_from_reads(codes, lengths, K)
+    pre = {s for s, _ in graph_contigs(g)}
+    assert genome not in pre and nd.rc(genome) not in pre
+
+    # noisy long reads spanning the hole
+    lrs = [noisy(genome[250:750], 0.08, 10 + i) for i in range(4)]
+    lc, ll = dna.encode_reads(lrs)
+    g2, joined = long_read.hybrid_close_gaps(g, lc, ll)
+    assert joined == 1
+    post = graph_contigs(g2)
+    top = post[0][0]
+    # the fill comes from a noisy read: require full span + high identity
+    assert len(top) == pytest.approx(900, rel=0.05)
+    flank_l, flank_r = genome[:380], genome[520:]
+    assert (flank_l in top and flank_r in top) or \
+        (nd.rc(flank_l) in top and nd.rc(flank_r) in top)
+
+
+def test_gmapper_tool(tmp_path):
+    from spades_for_blackbird_tpu import tools
+    from spades_for_blackbird_tpu.graph import construct as gconstruct
+    from spades_for_blackbird_tpu.io import gfa as gfa_io
+
+    genome = random_dna(400, 5)
+    codes, lengths = dna.encode_reads(tile(genome))
+    g = gconstruct.graph_from_reads(codes, lengths, K)
+    gfa_path = str(tmp_path / "g.gfa")
+    gfa_io.write_gfa(gfa_path, g)
+    lr_path = tmp_path / "lr.fa"
+    lr_path.write_text(f">lr0\n{noisy(genome[40:360], 0.08, 6)}\n")
+    out = str(tmp_path / "al.tsv")
+    rc = tools.main(["gmapper", gfa_path, str(lr_path), "-o", out])
+    assert rc == 0
+    lines = [l for l in open(out) if not l.startswith("#")]
+    assert len(lines) == 1
+    assert "\t" in lines[0]
