@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="file with Nanopore reads (hybrid assembly)")
     p.add_argument("--sanger", action="append", default=[],
                    help="file with Sanger reads (hybrid assembly)")
+    p.add_argument("--assembly-graph", default=None, metavar="GFA",
+                   help="start from an existing assembly graph instead of "
+                        "construction (the blackbird-fork LoadGraph path)")
     p.add_argument("-o", dest="output_dir", required=True,
                    help="output directory")
     p.add_argument("-k", dest="k_list", default=None,
@@ -110,6 +113,16 @@ def main(argv=None) -> int:
         print(line)
         log_f.write(line + "\n")
         log_f.flush()
+
+    missing = [p for p in (args.pe1 + args.pe2 + args.single +
+                           args.interlaced + args.pacbio + args.nanopore +
+                           args.sanger +
+                           ([args.assembly_graph] if args.assembly_graph
+                            else []))
+               if not os.path.exists(p)]
+    if missing:
+        print(f"error: input file(s) not found: {missing}", file=sys.stderr)
+        return 2
 
     first_file = (args.pe1 or args.single or args.interlaced)[0]
     read_length = fastq.peek_read_length(first_file)

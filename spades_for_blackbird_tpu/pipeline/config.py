@@ -46,8 +46,10 @@ class AssemblyConfig:
 def _meta(cfg: AssemblyConfig) -> AssemblyConfig:
     # meta_mode.info: cycle_iter_count 3, ec "{ec_lb 30, icb 2.5}",
     # harsher tip clipping, two-step RR
-    # meta ec condition "{ec_lb 30, icb 2.5}": max_ec_length = k + 30
-    simp = replace(cfg.simplify, rounds=3, ec_icb=2.5, ec_lb_additive=30)
+    # meta ec condition "{ec_lb 30, icb 2.5}": max_ec_length = k + 30;
+    # rcc block enabled (coverage_gap 5, max_length_coeff 3)
+    simp = replace(cfg.simplify, rounds=3, ec_icb=2.5, ec_lb_additive=30,
+                   rcc_enabled=True)
     return replace(cfg, mode="meta", two_step_rr=True,
                    use_intermediate_contigs=True, simplify=simp)
 

@@ -218,10 +218,24 @@ def build_stage_list(args, ks, log, cfg=None):
                                    log)]
     if not args.only_assembler and cfg.correction_enabled:
         stages.append(make_error_correction(log))
-    for k in ks:
-        stages.append(make_iteration(
-            k, log, min_contig_length=args.min_contig_length,
-            simplify_cfg=cfg.simplify))
+    if getattr(args, "assembly_graph", None):
+        # LoadGraph replaces construction (load_graph.cpp:16-36)
+        gfa_path = args.assembly_graph
+
+        def load_graph(ctx: PipelineContext):
+            from ..graph.from_gfa import graph_from_gfa
+            from ..io import fasta
+            ctx.graph = graph_from_gfa(gfa_path)
+            ctx.contigs = fasta.graph_contigs(ctx.graph,
+                                              min_length=2 * ctx.graph.k)
+            log(f"loaded graph from {gfa_path}: "
+                f"{len(ctx.contigs)} segments, k={ctx.graph.k}")
+        stages.append(Stage("load_graph", load_graph))
+    else:
+        for k in ks:
+            stages.append(make_iteration(
+                k, log, min_contig_length=args.min_contig_length,
+                simplify_cfg=cfg.simplify))
     if pe_pairs or args.interlaced:
         stages.append(make_gap_closing(log))
     long_reads = (getattr(args, "pacbio", []) +

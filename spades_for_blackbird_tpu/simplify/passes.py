@@ -153,6 +153,29 @@ def remove_bulges(g: Graph, v_space: int, max_length: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("v_space",))
+def remove_relative_low_coverage(g: Graph, v_space: int,
+                                 coverage_gap: jax.Array,
+                                 max_length: jax.Array) -> Graph:
+    """Relative-coverage erroneous connection/component removal
+    (modules/simplification/relative_coverage_remover.hpp, enabled by
+    meta's rcc block): short edges whose coverage is ``coverage_gap``
+    times below the strongest flanking edges on BOTH sides are chimeric
+    inter-species connections and get dropped.
+    """
+    m, out_deg, in_deg, out_maxcov, in_maxcov = _vertex_tables(g, v_space)
+    vss = jnp.minimum(g.start_v, v_space - 1)
+    ves = jnp.minimum(g.end_v, v_space - 1)
+    # strongest alternative at the start junction (edges INTO start_v or
+    # other edges OUT of it) and symmetric at the end junction
+    start_flank = jnp.maximum(in_maxcov[vss], out_maxcov[vss])
+    end_flank = jnp.maximum(out_maxcov[ves], in_maxcov[ves])
+    kill = m & (g.seq_len <= max_length) & \
+        (g.cov * coverage_gap < start_flank) & \
+        (g.cov * coverage_gap < end_flank)
+    return _delete(g, kill)
+
+
+@functools.partial(jax.jit, static_argnames=("v_space",))
 def remove_erroneous_connections(g: Graph, v_space: int,
                                  max_length: jax.Array,
                                  coverage_threshold: jax.Array) -> Graph:

@@ -49,6 +49,10 @@ class SimplifyConfig:
     # when set, max_ec_length = k + ec_lb_additive instead of the
     # tip-originated formula (the "ec_lb N" condition form, used by meta)
     ec_lb_additive: int | None = None
+    # relative-coverage removal (rcc block; meta enables it)
+    rcc_enabled: bool = False
+    rcc_coverage_gap: float = 5.0
+    rcc_max_length_coeff: float = 3.0
     # cycle (cycle_iter_count)
     rounds: int = 10
     # ier with use_rl_for_max_length_any_cov: isolated edges up to
@@ -98,6 +102,12 @@ def simplify_graph(g: Graph, v_space: int, ec_bound: float,
         g = recondense(g, v_space)
         g = passes.remove_erroneous_connections(
             g, v_space, jnp.int32(ec_len), jnp.float32(ec_thr))
+        g = recondense(g, v_space)
+
+    if cfg.rcc_enabled:
+        g = passes.remove_relative_low_coverage(
+            g, v_space, jnp.float32(cfg.rcc_coverage_gap),
+            jnp.int32(int(cfg.rcc_max_length_coeff * k)))
         g = recondense(g, v_space)
 
     # post-simplification: final tip clipper + isolated cleanup
