@@ -67,6 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test", action="store_true",
                    help="run on the bundled toy dataset")
     p.add_argument("--min-contig-length", type=int, default=None)
+    p.add_argument("--cov-cutoff", default="off", metavar="N|auto|off",
+                   help="drop (k+1)-mers with count below N before "
+                        "construction ('auto' uses the coverage model)")
     p.add_argument("--continue", dest="continue_run", action="store_true",
                    help="resume from the last completed stage")
     p.add_argument("--restart-from", default=None, metavar="STAGE",

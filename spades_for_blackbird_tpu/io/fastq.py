@@ -143,6 +143,23 @@ def load_paired_reads(left: str, right: str, max_len: int | None = None
     return lb, rb
 
 
+def write_reads_fastq(path: str, codes, lengths, prefix: str = "read"
+                      ) -> None:
+    """Write a read batch as FASTQ (constant quality; the corrected-read
+    output of the error-correction stage, mirroring the reference's
+    corrected/*.fastq output)."""
+    import gzip as _gz
+    codes = np.asarray(codes)
+    lengths = np.asarray(lengths)
+    opener = (lambda p: _io.TextIOWrapper(_gz.open(p, "wb"))) \
+        if str(path).endswith(".gz") else (lambda p: open(p, "w"))
+    with opener(path) as f:
+        for i in range(codes.shape[0]):
+            n = int(lengths[i])
+            seq = dna.decode_codes(codes[i][:n])
+            f.write(f"@{prefix}_{i}\n{seq}\n+\n{'I' * n}\n")
+
+
 def concat_batches(batches: list[ReadBatch]) -> ReadBatch:
     L = max(b.max_len for b in batches)
     codes = []

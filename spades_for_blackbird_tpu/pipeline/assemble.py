@@ -63,6 +63,8 @@ def assemble_single_k(codes, lengths, k: int,
             ec, el = dna.encode_reads(extra)
             kp1 = counter.merge_tables(
                 kp1, counter.count_kmers(ec, el, k + 1))
+    if min_kmer_count == "auto":  # --cov-cutoff auto
+        min_kmer_count = max(2, int(ginfo.ec_bound))
     if min_kmer_count > 1:
         kp1 = counter.filter_min_count(kp1, min_kmer_count)
     from ..kmers import extension

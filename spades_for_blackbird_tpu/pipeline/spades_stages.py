@@ -54,7 +54,7 @@ def make_read_conversion(pe_pairs, interlaced, singles, log):
     return Stage("read_conversion", run)
 
 
-def make_error_correction(log, k: int = 21):
+def make_error_correction(log, k: int = 21, output_dir: str | None = None):
     def run(ctx: PipelineContext):
         from ..hammer import correct as hammer_correct
         corrected, hstats = hammer_correct.correct_reads(
@@ -62,11 +62,18 @@ def make_error_correction(log, k: int = 21):
         log(f"correction: {hstats}")
         ctx.codes = corrected
         ctx.params["hammer"] = hstats
+        if output_dir is not None:
+            from ..io import fastq
+            cdir = os.path.join(output_dir, "corrected")
+            os.makedirs(cdir, exist_ok=True)
+            path = os.path.join(cdir, "corrected.fastq.gz")
+            fastq.write_reads_fastq(path, ctx.codes, ctx.lengths)
+            log(f"wrote {path}")
     return Stage("error_correction", run)
 
 
 def make_iteration(k: int, log, min_contig_length=None, simplify_cfg=None,
-                   name=None):
+                   name=None, min_kmer_count=1):
     def run(ctx: PipelineContext):
         from . import assemble
         from ..simplify import runner
@@ -77,6 +84,7 @@ def make_iteration(k: int, log, min_contig_length=None, simplify_cfg=None,
         res = assemble.assemble_single_k(
             ctx.codes, ctx.lengths, k, cfg=cfg,
             min_contig_length=min_contig_length,
+            min_kmer_count=min_kmer_count,
             extra_sequences=[s for s, _ in ctx.contigs])
         ctx.contigs = res.contigs
         ctx.graph = res.graph
@@ -217,7 +225,8 @@ def build_stage_list(args, ks, log, cfg=None):
     stages = [make_read_conversion(pe_pairs, args.interlaced, args.single,
                                    log)]
     if not args.only_assembler and cfg.correction_enabled:
-        stages.append(make_error_correction(log))
+        stages.append(make_error_correction(
+            log, output_dir=args.output_dir))
     if getattr(args, "assembly_graph", None):
         # LoadGraph replaces construction (load_graph.cpp:16-36)
         gfa_path = args.assembly_graph
@@ -232,10 +241,12 @@ def build_stage_list(args, ks, log, cfg=None):
                 f"{len(ctx.contigs)} segments, k={ctx.graph.k}")
         stages.append(Stage("load_graph", load_graph))
     else:
+        cc = getattr(args, "cov_cutoff", "off")
+        min_kc = 1 if cc == "off" else ("auto" if cc == "auto" else int(cc))
         for k in ks:
             stages.append(make_iteration(
                 k, log, min_contig_length=args.min_contig_length,
-                simplify_cfg=cfg.simplify))
+                simplify_cfg=cfg.simplify, min_kmer_count=min_kc))
     if pe_pairs or args.interlaced:
         stages.append(make_gap_closing(log))
     long_reads = (getattr(args, "pacbio", []) +
