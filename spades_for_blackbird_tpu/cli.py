@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="file with unpaired reads")
     p.add_argument("--12", dest="interlaced", action="append", default=[],
                    help="file with interlaced paired-end reads")
+    p.add_argument("--mp-1", dest="mp1", action="append", default=[],
+                   help="file with forward mate-pair (RF) reads")
+    p.add_argument("--mp-2", dest="mp2", action="append", default=[],
+                   help="file with reverse mate-pair (RF) reads")
     p.add_argument("--pacbio", action="append", default=[],
                    help="file with PacBio reads (hybrid assembly)")
     p.add_argument("--nanopore", action="append", default=[],
@@ -103,7 +107,10 @@ def main(argv=None) -> int:
     if len(args.pe1) != len(args.pe2):
         print("error: -1/-2 file counts differ", file=sys.stderr)
         return 2
-    if not (args.pe1 or args.single or args.interlaced):
+    if len(args.mp1) != len(args.mp2):
+        print("error: --mp-1/--mp-2 file counts differ", file=sys.stderr)
+        return 2
+    if not (args.pe1 or args.single or args.interlaced or args.mp1):
         print("error: no input reads (use -1/-2, -s, --12 or --test)",
               file=sys.stderr)
         return 2
@@ -117,7 +124,8 @@ def main(argv=None) -> int:
         log_f.write(line + "\n")
         log_f.flush()
 
-    missing = [p for p in (args.pe1 + args.pe2 + args.single +
+    missing = [p for p in (args.pe1 + args.pe2 + args.mp1 + args.mp2 +
+                           args.single +
                            args.interlaced + args.pacbio + args.nanopore +
                            args.sanger +
                            ([args.assembly_graph] if args.assembly_graph
@@ -127,7 +135,8 @@ def main(argv=None) -> int:
         print(f"error: input file(s) not found: {missing}", file=sys.stderr)
         return 2
 
-    first_file = (args.pe1 or args.single or args.interlaced)[0]
+    first_file = (args.pe1 or args.single or args.interlaced
+                  or args.mp1)[0]
     read_length = fastq.peek_read_length(first_file)
     if read_length == 0:
         print(f"error: no reads found in {first_file}", file=sys.stderr)

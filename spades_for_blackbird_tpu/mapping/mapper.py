@@ -111,6 +111,13 @@ def map_reads(index: EdgeKmerIndex, seq_len: jax.Array, codes: jax.Array,
     best = jnp.zeros((R,), jnp.int32).at[urow_read].max(
         counts.astype(jnp.int32), mode="drop")
     is_best = in_range & (counts == best[jnp.minimum(urow_read, R - 1)])
+    # ambiguity: two distinct placements tie for best (reads fully inside
+    # a repeat copy) — such reads must not feed paired info with a
+    # spurious placement (the reference maps them as non-unique and its
+    # weight counters ignore them)
+    n_best = jnp.zeros((R,), jnp.int32).at[
+        jnp.where(is_best, urow_read, R)].add(1, mode="drop")
+    unambiguous = n_best <= 1
     # deterministic tie-break: first (lexicographically smallest) wins
     first_best = jnp.full((R,), N, jnp.int32).at[
         jnp.where(is_best, urow_read, R)].min(
@@ -124,5 +131,5 @@ def map_reads(index: EdgeKmerIndex, seq_len: jax.Array, codes: jax.Array,
         oriented_edge=jnp.where(got, oe, -1),
         start=jnp.where(got, st, 0),
         votes=votes,
-        mapped=got & (votes > 0),
+        mapped=got & (votes > 0) & unambiguous,
     )

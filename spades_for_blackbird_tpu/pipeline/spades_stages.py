@@ -16,9 +16,11 @@ import numpy as np
 from .stages import PipelineContext, Stage
 
 
-def make_read_conversion(pe_pairs, interlaced, singles, log):
+def make_read_conversion(pe_pairs, interlaced, singles, log, mp_pairs=()):
     def run(ctx: PipelineContext):
+        import jax.numpy as jnp
         from ..io import fastq
+        from ..ops import dna
         batches = []
         paired_ranges = []
         row = 0
@@ -29,6 +31,20 @@ def make_read_conversion(pe_pairs, interlaced, singles, log):
                                   row + b1.num_reads, b2.num_reads))
             row += b1.num_reads + b2.num_reads
             log(f"loaded paired library {p1} + {p2}: {b1.num_reads} pairs")
+        for p1, p2 in mp_pairs:
+            # mate pairs are RF ("outie", library_fwd.hpp MatePairs):
+            # reverse-complement both mates to convert to FR geometry
+            b1, b2 = fastq.load_paired_reads(p1, p2)
+            b1.codes = np.asarray(dna.revcomp_reads(
+                jnp.asarray(b1.codes), jnp.asarray(b1.lengths)))
+            b2.codes = np.asarray(dna.revcomp_reads(
+                jnp.asarray(b2.codes), jnp.asarray(b2.lengths)))
+            batches += [b1, b2]
+            paired_ranges.append((row, b1.num_reads,
+                                  row + b1.num_reads, b2.num_reads))
+            row += b1.num_reads + b2.num_reads
+            log(f"loaded mate-pair library {p1} + {p2}: "
+                f"{b1.num_reads} pairs (RF->FR)")
         for ip in interlaced:
             b = fastq.load_reads(ip)
             # even rows = first mates, odd = second; split into halves
@@ -222,8 +238,9 @@ def build_stage_list(args, ks, log, cfg=None):
     if cfg is None:
         cfg = AssemblyConfig()
     pe_pairs = list(zip(args.pe1, args.pe2))
+    mp_pairs = list(zip(getattr(args, "mp1", []), getattr(args, "mp2", [])))
     stages = [make_read_conversion(pe_pairs, args.interlaced, args.single,
-                                   log)]
+                                   log, mp_pairs=mp_pairs)]
     if not args.only_assembler and cfg.correction_enabled:
         stages.append(make_error_correction(
             log, output_dir=args.output_dir))
@@ -247,7 +264,7 @@ def build_stage_list(args, ks, log, cfg=None):
             stages.append(make_iteration(
                 k, log, min_contig_length=args.min_contig_length,
                 simplify_cfg=cfg.simplify, min_kmer_count=min_kc))
-    if pe_pairs or args.interlaced:
+    if pe_pairs or mp_pairs or args.interlaced:
         stages.append(make_gap_closing(log))
     long_reads = (getattr(args, "pacbio", []) +
                   getattr(args, "nanopore", []) +

@@ -74,3 +74,43 @@ def test_gfa_roundtrip(tmp_path):
     assert any(s1[:len(next(iter(seqs)))] for s in seqs)  # smoke
     for name, (seq, cov) in segments.items():
         assert cov > 0
+
+
+def test_mate_pair_rf_library(tmp_path):
+    """RF mate pairs (--mp-1/--mp-2) convert to FR and drive repeat
+    resolution (library_fwd.hpp MatePairs orientation)."""
+    import numpy as np
+    import naive_debruijn as nd
+    from spades_for_blackbird_tpu import cli
+
+    rng = np.random.default_rng(31)
+    A = "".join(rng.choice(list("ACGT"), size=150))
+    R = "".join(rng.choice(list("ACGT"), size=80))
+    B = "".join(rng.choice(list("ACGT"), size=150))
+    C = "".join(rng.choice(list("ACGT"), size=150))
+    genome = A + R + B + R + C
+    L, IS = 50, 200
+    positions = list(range(0, len(genome) - IS + 1, 3))
+    if positions[-1] != len(genome) - IS:
+        positions.append(len(genome) - IS)
+    with open(tmp_path / "mp_1.fq", "w") as f1, \
+            open(tmp_path / "mp_2.fq", "w") as f2:
+        for i, pos in enumerate(positions):
+            fr1 = genome[pos:pos + L]
+            fr2 = nd.rc(genome[pos + IS - L:pos + IS])
+            # convert the FR pair to RF by rc'ing both mates
+            f1.write(f"@p{i}/1\n{nd.rc(fr1)}\n+\n{'I' * L}\n")
+            f2.write(f"@p{i}/2\n{nd.rc(fr2)}\n+\n{'I' * L}\n")
+    out = tmp_path / "out"
+    rc_code = cli.main(["--mp-1", str(tmp_path / "mp_1.fq"),
+                        "--mp-2", str(tmp_path / "mp_2.fq"),
+                        "-o", str(out), "-k", "15", "--only-assembler"])
+    assert rc_code == 0
+    from spades_for_blackbird_tpu.io import fastq as fq
+    _, contigs = fq.read_sequences(str(out / "contigs.fasta"))
+    # RF pairs must behave exactly like the FR geometry: every contig
+    # genomic, and the top path extended through at least one repeat copy
+    # (longer than any single unitig; unitigs here are <= ~395bp)
+    for s in contigs:
+        assert s in genome or nd.rc(s) in genome
+    assert len(contigs[0]) >= 420, len(contigs[0])
