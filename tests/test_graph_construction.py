@@ -152,3 +152,20 @@ def test_degrees_consistency():
     od, idg = np.asarray(out_deg), np.asarray(in_deg)
     v = np.arange(v_space)
     assert (od[v] == idg[v ^ 1]).all()
+
+
+def test_deep_multiword_k77_pipeline():
+    """k=77 ((k+1)=78 -> 5-word keys) through construction: exercises
+    multi-word shifts/truncation beyond the common 2-word path."""
+    genome = random_dna(400, 99)
+    reads = [genome[i:i + 150] for i in range(0, 251, 10)]
+    reads.append(genome[250:400])
+    codes, lengths = dna.encode_reads(reads)
+    g = build_from_arrays(codes, lengths, 77)
+    edges = edge_strings(g)
+    seqs = sorted(s for s, _ in edges)
+    assert genome in seqs or nd.rc(genome) in seqs
+
+
+def build_from_arrays(codes, lengths, k):
+    return construct.graph_from_reads(codes, lengths, k)
