@@ -204,5 +204,19 @@ def main(argv=None) -> int:
     return 0
 
 
+def _mode_main(flag: str):
+    def entry(argv=None) -> int:
+        args = list(sys.argv[1:] if argv is None else argv)
+        return main([flag] + args)
+    return entry
+
+
+# mode wrapper entry points (the reference's metaspades.py etc.)
+main_meta = _mode_main("--meta")
+main_plasmid = _mode_main("--plasmid")
+main_metaplasmid = _mode_main("--metaplasmid")
+main_rna = _mode_main("--rna")
+
+
 if __name__ == "__main__":
     raise SystemExit(main())

@@ -82,3 +82,24 @@ def test_context_roundtrip(tmp_path):
             np.asarray(g.seq_flat)).all()
     assert ctx2.contigs == [("ACGT", 1.5)]
     assert ctx2.params == {"ks_done": [15]}
+
+
+def test_only_error_correction_writes_corrected_reads(tmp_path):
+    from spades_for_blackbird_tpu import cli
+    from spades_for_blackbird_tpu.io import fastq
+    out = str(tmp_path / "out")
+    rc = run_cli(["--test", "-o", out, "--only-error-correction"])
+    assert rc == 0
+    corrected = f"{out}/corrected/corrected.fastq.gz"
+    assert os.path.exists(corrected)
+    b = fastq.load_reads(corrected)
+    assert b.num_reads == 4108
+    assert not os.path.exists(f"{out}/contigs.fasta")
+
+
+def test_mode_wrapper_entry_points(tmp_path):
+    from spades_for_blackbird_tpu import cli
+    out = str(tmp_path / "out")
+    # wrapper injects the mode flag; conflicting explicit flag errors
+    rc = cli.main_meta(["--test", "-o", out, "--rna"])
+    assert rc == 2
