@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="RNA-seq mode (rnaSPAdes equivalent)")
     p.add_argument("--sc", action="store_true",
                    help="single-cell (MDA) mode")
+    p.add_argument("--ss", choices=["rf", "fr"], default=None,
+                   help="strand-specific RNA library orientation "
+                        "(enables the SSEdgeSplit stage in --rna mode)")
     p.add_argument("--test", action="store_true",
                    help="run on the bundled toy dataset")
     p.add_argument("--min-contig-length", type=int, default=None)

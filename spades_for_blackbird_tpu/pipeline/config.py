@@ -67,9 +67,10 @@ def _metaplasmid(cfg: AssemblyConfig) -> AssemblyConfig:
 
 def _rna(cfg: AssemblyConfig) -> AssemblyConfig:
     # rna_mode.info: K ladder [33, 49] (options_storage.py K_MERS_RNA),
-    # strand-specific coverage machinery
+    # strand-specific coverage machinery + superbubble collapse
+    simp = replace(cfg.simplify, superbubble_enabled=True)
     return replace(cfg, mode="rna", ks=cfg.ks or [33, 49],
-                   strand_specific=True)
+                   strand_specific=True, simplify=simp)
 
 
 def _sc(cfg: AssemblyConfig) -> AssemblyConfig:

@@ -136,6 +136,24 @@ def _paired_mate_arrays(ctx: PipelineContext):
             jnp.asarray(c[idx2]), jnp.asarray(l[idx2]))
 
 
+def make_ss_edge_split(ss_orientation: str, log):
+    """SSEdgeSplit stage (common/stages/ss_edge_split.cpp:17-59): split
+    edges where the transcribed strand flips (strand-specific RNA)."""
+    def run(ctx: PipelineContext):
+        from ..models import rna
+        if ctx.graph is None:
+            return
+        g, n, _ = rna.split_edges_by_strand(
+            ctx.graph, np.asarray(ctx.codes), np.asarray(ctx.lengths),
+            ss_orientation=ss_orientation)
+        ctx.graph = g
+        if n:
+            from ..io import fasta
+            ctx.contigs = fasta.graph_contigs(g, min_length=2 * g.k)
+        log(f"ss edge split ({ss_orientation}): split {n} edges")
+    return Stage("ss_edge_split", run)
+
+
 def make_gap_closing(log):
     def run(ctx: PipelineContext):
         from . import gap_closer
@@ -264,6 +282,8 @@ def build_stage_list(args, ks, log, cfg=None):
             stages.append(make_iteration(
                 k, log, min_contig_length=args.min_contig_length,
                 simplify_cfg=cfg.simplify, min_kmer_count=min_kc))
+    if getattr(args, "ss", None) and cfg.strand_specific:
+        stages.append(make_ss_edge_split(args.ss, log))
     if pe_pairs or mp_pairs or args.interlaced:
         stages.append(make_gap_closing(log))
     long_reads = (getattr(args, "pacbio", []) +

@@ -53,6 +53,9 @@ class SimplifyConfig:
     rcc_enabled: bool = False
     rcc_coverage_gap: float = 5.0
     rcc_max_length_coeff: float = 3.0
+    # superbubble collapse (rna; superbubble_finder.hpp:21)
+    superbubble_enabled: bool = False
+    superbubble_max_length: int = 1000
     # cycle (cycle_iter_count)
     rounds: int = 10
     # ier with use_rl_for_max_length_any_cov: isolated edges up to
@@ -109,6 +112,13 @@ def simplify_graph(g: Graph, v_space: int, ec_bound: float,
             g, v_space, jnp.float32(cfg.rcc_coverage_gap),
             jnp.int32(int(cfg.rcc_max_length_coeff * k)))
         g = recondense(g, v_space)
+
+    if cfg.superbubble_enabled:
+        from .superbubble import collapse_superbubbles
+        g, nb = collapse_superbubbles(
+            g, max_length=cfg.superbubble_max_length)
+        if nb:
+            g = recondense(g, v_space)
 
     # post-simplification: final tip clipper + isolated cleanup
     g = _clip_tips_clauses(g, v_space, cfg.final_tip_clauses, k, rl, auto_cb)
