@@ -68,6 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="RNA-seq mode (rnaSPAdes equivalent)")
     p.add_argument("--sc", action="store_true",
                    help="single-cell (MDA) mode")
+    p.add_argument("--bio", action="store_true",
+                   help="biosyntheticSPAdes mode (BGC assembly; needs "
+                        "--custom-hmms)")
+    p.add_argument("--custom-hmms", dest="custom_hmms", default=None,
+                   metavar="PATH",
+                   help=".hmm file or directory of domain models for "
+                        "--bio mode")
     p.add_argument("--ss", choices=["rf", "fr"], default=None,
                    help="strand-specific RNA library orientation "
                         "(enables the SSEdgeSplit stage in --rna mode)")
@@ -167,13 +174,22 @@ def main(argv=None) -> int:
         timetrace.enable()
 
     from .pipeline.config import config_for_mode
-    mode_flags = [m for m in ("meta", "plasmid", "metaplasmid", "rna", "sc")
+    mode_flags = [m for m in ("meta", "plasmid", "metaplasmid", "rna",
+                              "sc", "bio")
                   if getattr(args, m)]
     if len(mode_flags) > 1:
         print(f"error: conflicting mode flags: {mode_flags}",
               file=sys.stderr)
         return 2
     mode = mode_flags[0] if mode_flags else "isolate"
+    if mode == "bio" and not args.custom_hmms:
+        print("error: --bio requires --custom-hmms <file-or-dir of .hmm "
+              "models>", file=sys.stderr)
+        return 2
+    if args.custom_hmms and not os.path.exists(args.custom_hmms):
+        print(f"error: --custom-hmms path not found: {args.custom_hmms}",
+              file=sys.stderr)
+        return 2
     cfg = config_for_mode(mode, careful=args.careful)
     if cfg.ks is not None and not args.k_list:
         ks = [k for k in cfg.ks if k < read_length]

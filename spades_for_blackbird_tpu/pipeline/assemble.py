@@ -33,7 +33,8 @@ def assemble_single_k(codes, lengths, k: int,
                       cfg: runner.SimplifyConfig | None = None,
                       min_contig_length: int | None = None,
                       min_kmer_count: int = 1,
-                      extra_sequences: list[str] | None = None
+                      extra_sequences: list[str] | None = None,
+                      restricted_sequences: list[str] | None = None
                       ) -> AssemblyResult:
     """Assemble one read batch at a single K.
 
@@ -73,8 +74,19 @@ def assemble_single_k(codes, lengths, k: int,
     g = condense.build_graph(kp1, vt, k)
     v_space = 2 * vt.capacity
 
-    # Simplification
-    g = runner.simplify_graph(g, v_space, ginfo.ec_bound, cfg)
+    # Simplification; restricted sequences (blackbird fork /
+    # biosyntheticSPAdes, restricted_edges_filling.cpp:16-41) protect
+    # their edges from bulge gluing
+    protected_fn = None
+    if restricted_sequences:
+        import jax.numpy as jnp
+        from ..models import bio
+
+        def protected_fn(gr):
+            return jnp.asarray(
+                bio.fill_restricted_edges(gr, restricted_sequences))
+    g = runner.simplify_graph(g, v_space, ginfo.ec_bound, cfg,
+                              protected_fn=protected_fn)
 
     if min_contig_length is None:
         min_contig_length = 2 * k

@@ -18,7 +18,7 @@ from ..simplify.runner import SimplifyConfig
 from ..path_extend.resolver import PEParams
 
 
-MODES = ("isolate", "meta", "plasmid", "metaplasmid", "rna", "sc")
+MODES = ("isolate", "meta", "plasmid", "metaplasmid", "rna", "sc", "bio")
 
 
 @dataclass
@@ -41,6 +41,8 @@ class AssemblyConfig:
     plasmid_coverage_uniformity: float = 0.3
     # rna (rna_mode.info): strand-specific coverage machinery
     strand_specific: bool = False
+    # bio (bgc_mode.info): HMM domain matching + restricted-edge masking
+    domain_matching: bool = False
 
 
 def _meta(cfg: AssemblyConfig) -> AssemblyConfig:
@@ -79,6 +81,14 @@ def _sc(cfg: AssemblyConfig) -> AssemblyConfig:
     return replace(cfg, mode="sc", simplify=simp)
 
 
+def _bio(cfg: AssemblyConfig) -> AssemblyConfig:
+    # biosyntheticSPAdes (bgc_mode.info): two-step RR with domain
+    # extraction on preliminary contigs and restricted-edge protection
+    # in the second phase (pipeline.cpp:140-153)
+    return replace(cfg, mode="bio", two_step_rr=True,
+                   use_intermediate_contigs=True, domain_matching=True)
+
+
 _OVERLAYS = {
     "isolate": lambda c: c,
     "meta": _meta,
@@ -86,6 +96,7 @@ _OVERLAYS = {
     "metaplasmid": _metaplasmid,
     "rna": _rna,
     "sc": _sc,
+    "bio": _bio,
 }
 
 

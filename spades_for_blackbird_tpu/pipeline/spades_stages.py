@@ -205,6 +205,43 @@ def make_hybrid_aligning(long_read_files, log, name="hybrid_aligning"):
     return Stage(name, run)
 
 
+def make_extract_domains(hmm_set: str, output_dir: str, log):
+    """ExtractDomains stage (projects/spades/extract_domains.cpp): match
+    the HMM set against the preliminary contigs, write
+    temp_anti/restricted_edges.fasta and stash the hit sequences for the
+    second-phase restricted-edge protection."""
+    def run(ctx: PipelineContext):
+        from ..io import hmmfile
+        from ..models import bio
+        contig_seqs = [s for s, _ in (ctx.final_contigs or ctx.contigs)]
+        profiles = hmmfile.load_hmm_set(hmm_set)
+        hits = bio.extract_domains(contig_seqs, profiles,
+                                   output_dir=output_dir)
+        ctx.params["restricted_seqs"] = [h.seq for h in hits]
+        log(f"extracted {len(hits)} domain hits from "
+            f"{len(profiles)} models over {len(contig_seqs)} contigs")
+    return Stage("extract_domains", run)
+
+
+def make_domain_graph_construction(hmm_set: str, output_dir: str, log):
+    """DomainGraphConstruction stage
+    (projects/spades/domain_graph_construction.cpp): re-match the final
+    contigs, build the domain graph and emit BGC candidates
+    (gene_clusters.fasta, bgc_statistics.txt, domain_graph.dot)."""
+    def run(ctx: PipelineContext):
+        from ..io import hmmfile
+        from ..models import bio
+        contig_seqs = [s for s, _ in (ctx.final_contigs or ctx.contigs)]
+        profiles = hmmfile.load_hmm_set(hmm_set)
+        hits = bio.extract_domains(contig_seqs, profiles)
+        arcs = bio.build_domain_graph(hits)
+        chains = bio.bgc_candidates(hits, arcs)
+        n = bio.write_bgc_outputs(output_dir, contig_seqs, hits, chains)
+        log(f"domain graph: {len(hits)} hits, {len(arcs)} arcs, "
+            f"{n} BGC candidates")
+    return Stage("domain_graph_construction", run)
+
+
 def make_repeat_resolution(log):
     def run(ctx: PipelineContext):
         from . import assemble
@@ -301,16 +338,26 @@ def build_stage_list(args, ks, log, cfg=None):
     if cfg.chromosome_removal:
         stages.append(make_chromosome_removal(log, cfg))
     stages.append(make_repeat_resolution(log))
+    hmm_set = getattr(args, "custom_hmms", None)
     if cfg.two_step_rr:
+        if hmm_set:
+            # ExtractDomains on the preliminary contigs
+            # (pipeline.cpp:145-146)
+            stages.append(make_extract_domains(
+                hmm_set, args.output_dir, log))
+
         # meta: SecondPhaseSetup (projects/spades/second_phase_setup.cpp)
-        # re-feeds preliminary RR contigs into a final iteration + RR
+        # re-feeds preliminary RR contigs into a final iteration + RR;
+        # restricted edges (pipeline.cpp:151-152 RestrictedEdgesFilling)
+        # protect domain hits through the second-phase simplification
         def second_phase(ctx: PipelineContext):
             from . import assemble
             if ctx.graph is None or not ctx.final_contigs:
                 return
             res = assemble.assemble_single_k(
                 ctx.codes, ctx.lengths, ks[-1],
-                extra_sequences=[s for s, _ in ctx.final_contigs])
+                extra_sequences=[s for s, _ in ctx.final_contigs],
+                restricted_sequences=ctx.params.get("restricted_seqs"))
             ctx.graph = res.graph
             ctx.contigs = res.contigs
             log(f"second phase: {res.stats}")
@@ -318,4 +365,8 @@ def build_stage_list(args, ks, log, cfg=None):
         stages.append(make_repeat_resolution(log))
         stages[-1] = Stage("repeat_resolution_2", stages[-1].fn)
     stages.append(make_contig_output(args.output_dir, log, cfg))
+    if hmm_set:
+        # DomainGraphConstruction last (pipeline.cpp:285-286)
+        stages.append(make_domain_graph_construction(
+            hmm_set, args.output_dir, log))
     return stages

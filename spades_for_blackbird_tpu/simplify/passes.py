@@ -92,10 +92,24 @@ def remove_isolated(g: Graph, v_space: int, max_length: jax.Array,
     return _delete(g, kill)
 
 
-@functools.partial(jax.jit, static_argnames=("v_space",))
 def remove_bulges(g: Graph, v_space: int, max_length: jax.Array,
                   max_relative_delta: jax.Array,
-                  max_coverage: jax.Array) -> Graph:
+                  max_coverage: jax.Array,
+                  protected: jax.Array | None = None) -> Graph:
+    """Remove parallel simple bulges; ``protected`` edges (the blackbird
+    fork's restricted edge set, stages/simplification.cpp:200-212
+    bulge_callback) are never glued away."""
+    if protected is None:
+        protected = jnp.zeros((g.capacity,), bool)
+    return _remove_bulges(g, v_space, max_length, max_relative_delta,
+                          max_coverage, protected)
+
+
+@functools.partial(jax.jit, static_argnames=("v_space",))
+def _remove_bulges(g: Graph, v_space: int, max_length: jax.Array,
+                   max_relative_delta: jax.Array,
+                   max_coverage: jax.Array,
+                   protected: jax.Array) -> Graph:
     """Remove parallel simple bulges (bulge_remover.hpp:200
     AlternativesAnalyzer, restricted to single-edge alternatives —
     multi-edge alternatives re-appear as parallel edges after chains
@@ -138,7 +152,7 @@ def remove_bulges(g: Graph, v_space: int, max_length: jax.Array,
 
     blen = best_len[jnp.minimum(gid, E - 1)]
     delta = jnp.maximum(max_relative_delta * blen.astype(jnp.float32), 3.0)
-    kill_p = svalid & ~is_best & \
+    kill_p = svalid & ~is_best & ~protected[perm] & \
         (len_p <= max_length) & (cov_p <= max_coverage) & \
         (jnp.abs(len_p - blen).astype(jnp.float32) <= delta)
 

@@ -80,9 +80,14 @@ def _clip_tips_clauses(g: Graph, v_space: int, clauses, k: int,
 
 
 def simplify_graph(g: Graph, v_space: int, ec_bound: float,
-                   cfg: SimplifyConfig = SimplifyConfig()) -> Graph:
+                   cfg: SimplifyConfig = SimplifyConfig(),
+                   protected_fn=None) -> Graph:
     """Run the full simplification cycle. ``ec_bound`` is the detected
-    coverage bound from the coverage model (GenomicInfo.ec_bound)."""
+    coverage bound from the coverage model (GenomicInfo.ec_bound).
+
+    ``protected_fn(g) -> bool mask``: edges protected from bulge gluing
+    (blackbird restricted edges, simplification.cpp:200-212); re-evaluated
+    each round because recondensation renumbers edges."""
     k = g.k
     rl = cfg.read_length
     auto_cb = max(ec_bound, 1.0)
@@ -101,7 +106,9 @@ def simplify_graph(g: Graph, v_space: int, ec_bound: float,
         g = recondense(g, v_space)
         g = passes.remove_bulges(g, v_space, jnp.int32(bulge_len),
                                  jnp.float32(cfg.bulge_rel_delta),
-                                 jnp.float32(cfg.bulge_max_coverage))
+                                 jnp.float32(cfg.bulge_max_coverage),
+                                 protected=(protected_fn(g)
+                                            if protected_fn else None))
         g = recondense(g, v_space)
         g = passes.remove_erroneous_connections(
             g, v_space, jnp.int32(ec_len), jnp.float32(ec_thr))
@@ -125,7 +132,9 @@ def simplify_graph(g: Graph, v_space: int, ec_bound: float,
     g = recondense(g, v_space)
     g = passes.remove_bulges(g, v_space, jnp.int32(bulge_len),
                              jnp.float32(cfg.bulge_rel_delta),
-                             jnp.float32(cfg.bulge_max_coverage))
+                             jnp.float32(cfg.bulge_max_coverage),
+                             protected=(protected_fn(g)
+                                        if protected_fn else None))
     g = recondense(g, v_space)
 
     iso_len = cfg.isolated_max_length
