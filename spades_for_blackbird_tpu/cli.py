@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="RNA-seq mode (rnaSPAdes equivalent)")
     p.add_argument("--sc", action="store_true",
                    help="single-cell (MDA) mode")
+    p.add_argument("--series-analysis", dest="series_analysis",
+                   default=None, metavar="YAML",
+                   help="mts time-series binning hook: profile graph "
+                        "edges against a multi-sample k-mer table")
     p.add_argument("--bio", action="store_true",
                    help="biosyntheticSPAdes mode (BGC assembly; needs "
                         "--custom-hmms)")

@@ -16,7 +16,9 @@ from ..ops import dna
 from .graph import Graph
 
 
-def graph_from_gfa(path: str) -> Graph:
+def graph_from_gfa(path: str, return_names: bool = False):
+    """Build the Graph; with ``return_names`` also return
+    {forward edge id -> GFA segment name} (edge 2i is segment i forward)."""
     import jax.numpy as jnp
     segments, links = gfa_io.read_gfa(path)
     names = list(segments.keys())
@@ -107,7 +109,7 @@ def graph_from_gfa(path: str) -> Graph:
         acc += len(codes)
 
     conj = np.array([e ^ 1 for e in range(E)], np.int32)
-    return Graph(
+    g = Graph(
         seq_flat=jnp.asarray(seq_flat),
         seq_start=jnp.asarray(seq_start),
         seq_len=jnp.asarray(lens),
@@ -119,3 +121,6 @@ def graph_from_gfa(path: str) -> Graph:
         num_edges=jnp.asarray(E, jnp.int32),
         k=int(k),
     )
+    if return_names:
+        return g, {2 * i: n for i, n in enumerate(names)}
+    return g

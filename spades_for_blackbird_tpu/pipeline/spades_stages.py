@@ -242,6 +242,54 @@ def make_domain_graph_construction(hmm_set: str, output_dir: str, log):
     return Stage("domain_graph_construction", run)
 
 
+def make_series_analysis(yaml_path: str, log):
+    """SeriesAnalysis stage (projects/spades/series_analysis.cpp): load a
+    multi-sample k-mer multiplicity table, profile the graph edges and
+    write edges_sqn / edges_mpl / edge_fragments_mpl for the mts binner."""
+    def parse_cfg(path):
+        cfg = {}
+        for line in open(path):
+            line = line.split("#")[0].strip()
+            if ":" in line:
+                key, val = line.split(":", 1)
+                cfg[key.strip()] = val.strip().strip('"')
+        return cfg
+
+    def run(ctx: PipelineContext):
+        from ..mts import abundance
+        from ..io import fasta as fasta_io
+        if ctx.graph is None:
+            return
+        cfg = parse_cfg(yaml_path)
+        kmers, mult, k = abundance.load_profiles(cfg["kmer_mult"])
+        min_len = int(cfg.get("min_len", 0))
+        frag_size = int(cfg.get("frag_size", 200))
+        seqs = []
+        names = []
+        for i, (s, cov) in enumerate(
+                fasta_io.graph_contigs(ctx.graph, min_length=min_len)):
+            seqs.append(s)
+            names.append(f"EDGE_{i + 1}_length_{len(s)}_cov_{cov:.6f}")
+        prof = abundance.contig_abundance(seqs, kmers, mult, k)
+        with open(cfg["edges_sqn"], "w") as f:
+            for n, s in zip(names, seqs):
+                f.write(f">{n}\n{s}\n")
+        with open(cfg["edges_mpl"], "w") as f:
+            for n, row in zip(names, prof):
+                f.write(n + "\t" + "\t".join(f"{v:.2f}" for v in row)
+                        + "\n")
+        with open(cfg["edge_fragments_mpl"], "w") as f:
+            for n, s in zip(names, seqs):
+                fr = abundance.fragment_abundance(s, kmers, mult, k,
+                                                  frag_size)
+                for j, row in enumerate(fr):
+                    f.write(f"{n}_f{j}\t" + "\t".join(
+                        f"{v:.2f}" for v in row) + "\n")
+        log(f"series analysis: profiled {len(seqs)} edges over "
+            f"{mult.shape[1]} samples")
+    return Stage("series_analysis", run)
+
+
 def make_repeat_resolution(log):
     def run(ctx: PipelineContext):
         from . import assemble
@@ -337,6 +385,9 @@ def build_stage_list(args, ks, log, cfg=None):
         stages.append(make_mismatch_correction(log))
     if cfg.chromosome_removal:
         stages.append(make_chromosome_removal(log, cfg))
+    if getattr(args, "series_analysis", None):
+        # before RR (pipeline.cpp:205-206)
+        stages.append(make_series_analysis(args.series_analysis, log))
     stages.append(make_repeat_resolution(log))
     hmm_set = getattr(args, "custom_hmms", None)
     if cfg.two_step_rr:

@@ -187,6 +187,104 @@ def cmd_gmapper(argv):
     return 0
 
 
+def _read_fasta(path):
+    names, seqs, cur = [], [], []
+    for line in open(path):
+        if line.startswith(">"):
+            if cur:
+                seqs.append("".join(cur))
+            names.append(line[1:].split()[0])
+            cur = []
+        else:
+            cur.append(line.strip())
+    if cur:
+        seqs.append("".join(cur))
+    return names, seqs
+
+
+def cmd_kmer_multiplicity_counter(argv):
+    """Multi-sample k-mer multiplicity profiles
+    (projects/mts/kmer_multiplicity_counter.cpp)."""
+    p = argparse.ArgumentParser(prog="kmer-multiplicity-counter")
+    p.add_argument("samples", nargs="+",
+                   help="one reads file per sample")
+    p.add_argument("-k", type=int, default=21)
+    p.add_argument("-o", "--output", required=True,
+                   help="output .npz profile table")
+    p.add_argument("--min-mult", type=int, default=2)
+    a = p.parse_args(argv)
+    from .mts import abundance
+    batches = []
+    for s in a.samples:
+        b = _load([s])
+        batches.append((b.codes, b.lengths))
+    kmers, mult = abundance.multiplicity_profiles(batches, a.k,
+                                                  min_mult=a.min_mult)
+    abundance.save_profiles(a.output, kmers, mult, a.k)
+    print(f"{len(kmers)} k-mers x {mult.shape[1]} samples -> {a.output}",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_contig_abundance(argv):
+    """Per-contig abundance profiles
+    (projects/mts/contig_abundance_counter.cpp)."""
+    p = argparse.ArgumentParser(prog="contig-abundance")
+    p.add_argument("contigs", help="FASTA")
+    p.add_argument("profiles", help=".npz from kmer-multiplicity-counter")
+    p.add_argument("-o", "--output", default="-")
+    p.add_argument("--stat", choices=["median", "mean"], default="median")
+    a = p.parse_args(argv)
+    from .mts import abundance
+    names, seqs = _read_fasta(a.contigs)
+    kmers, mult, k = abundance.load_profiles(a.profiles)
+    prof = abundance.contig_abundance(seqs, kmers, mult, k, stat=a.stat)
+    out = sys.stdout if a.output == "-" else open(a.output, "w")
+    for n, row in zip(names, prof):
+        out.write(n + "\t" + "\t".join(f"{v:.2f}" for v in row) + "\n")
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+def cmd_prop_binning(argv):
+    """Propagate bin annotation over a GFA graph + bin reads
+    (projects/mts/prop_binning.cpp)."""
+    p = argparse.ArgumentParser(prog="prop-binning")
+    p.add_argument("graph_gfa")
+    p.add_argument("annotation", help="'segment<TAB>bin' lines")
+    p.add_argument("-o", "--output", required=True,
+                   help="output propagated annotation")
+    p.add_argument("--reads", nargs="*", default=[],
+                   help="optionally bin these reads per label")
+    p.add_argument("--reads-out-prefix", default="binned")
+    a = p.parse_args(argv)
+    from .graph.from_gfa import graph_from_gfa
+    from .mts import binning
+    g, seg_names = graph_from_gfa(a.graph_gfa, return_names=True)
+    ann = binning.read_annotation(a.annotation)
+    edge_bins = {e: b for e, name in seg_names.items()
+                 for n2, b in ann.items() if n2 == name}
+    labels = binning.propagate_bins(g, edge_bins)
+    name_of = {e: n for e, n in seg_names.items()}
+    binning.write_annotation(a.output, {
+        name_of[e]: b for e, b in labels.items() if e in name_of})
+    stats = binning.binning_stats(g, labels)
+    for b, s in sorted(stats.items()):
+        print(f"bin {b}: {s['edges']} edges, {s['length']} bp, "
+              f"cov {s['mean_cov']:.1f}", file=sys.stderr)
+    if a.reads:
+        b = _load(a.reads)
+        per_bin = binning.bin_reads(g, labels, b.codes, b.lengths)
+        from .io import fastq
+        for lbl, idxs in per_bin.items():
+            path = f"{a.reads_out_prefix}.{lbl}.fastq.gz"
+            fastq.write_reads_fastq(path, b.codes[idxs], b.lengths[idxs])
+            print(f"bin {lbl}: {len(idxs)} reads -> {path}",
+                  file=sys.stderr)
+    return 0
+
+
 TOOLS = {
     "gbuilder": cmd_gbuilder,
     "kmercount": cmd_kmercount,
@@ -194,6 +292,9 @@ TOOLS = {
     "read-filter": cmd_read_filter,
     "gsimplifier": cmd_gsimplifier,
     "gmapper": cmd_gmapper,
+    "kmer-multiplicity-counter": cmd_kmer_multiplicity_counter,
+    "contig-abundance": cmd_contig_abundance,
+    "prop-binning": cmd_prop_binning,
 }
 
 
