@@ -285,6 +285,179 @@ def cmd_prop_binning(argv):
     return 0
 
 
+def cmd_vis(argv):
+    """Interactive graph inspector REPL (projects/online_vis)."""
+    from . import vis
+    return vis.main(argv)
+
+
+def cmd_scf_correction(argv):
+    """truSPAdes scaffold correction
+    (projects/scaffold_correction/scaffold_correction.hpp:186-233):
+    re-thread scaffolds through the graph, filling N-gaps with real
+    graph paths when a valid connection exists."""
+    p = argparse.ArgumentParser(prog="scf-correction")
+    p.add_argument("graph_gfa")
+    p.add_argument("scaffolds", help="FASTA (may contain N gaps)")
+    p.add_argument("-o", "--output", required=True)
+    a = p.parse_args(argv)
+    from .graph.from_gfa import graph_from_gfa
+    from .path_extend import scf_correction
+    g = graph_from_gfa(a.graph_gfa)
+    names, seqs = _read_fasta(a.scaffolds)
+    fixed, n = scf_correction.correct_scaffolds(
+        g, list(zip(names, seqs)))
+    with open(a.output, "w") as f:
+        for name, s in fixed:
+            f.write(f">{name}\n{s}\n")
+    print(f"corrected {n}/{len(fixed)} scaffolds", file=sys.stderr)
+    return 0
+
+
+def cmd_unitig_coverage(argv):
+    """Per-unitig read coverage profiles over a GFA
+    (projects/unitig_coverage/main.cpp + profile_storage.cpp)."""
+    p = argparse.ArgumentParser(prog="unitig-coverage")
+    p.add_argument("graph_gfa")
+    p.add_argument("reads", nargs="+")
+    p.add_argument("-o", "--output", default="-")
+    a = p.parse_args(argv)
+    import jax.numpy as jnp
+    from .graph.from_gfa import graph_from_gfa
+    from .mapping import index as eidx
+    from .mapping import mapper
+    g, names = graph_from_gfa(a.graph_gfa, return_names=True)
+    b = _load(a.reads)
+    idx = eidx.build_edge_index(g, g.k)
+    m = mapper.map_reads(idx, g.seq_len, jnp.asarray(b.codes),
+                         jnp.asarray(b.lengths), g.k)
+    m = mapper.normalize_mapping(m, g.conj)
+    oe = np.asarray(m.oriented_edge) // 2
+    ok = np.asarray(m.mapped)
+    counts = np.zeros(g.capacity, np.int64)
+    np.add.at(counts, oe[ok], 1)
+    conj = np.asarray(g.conj)
+    lens = np.asarray(g.seq_len)
+    rl = float(np.asarray(b.lengths).mean()) if b.num_reads else 0.0
+    out = sys.stdout if a.output == "-" else open(a.output, "w")
+    for e, name in sorted(names.items()):
+        n_reads = int(counts[e] + counts[conj[e]])
+        depth = n_reads * rl / max(int(lens[e]), 1)
+        out.write(f"{name}\t{n_reads}\t{depth:.2f}\n")
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+def cmd_cds_subgraphs(argv):
+    """CDS subgraph extraction by profile HMM
+    (projects/cds_subgraphs/subgraph_extraction.cpp): find domain hits on
+    the graph's unitigs and emit the hit CDS FASTA plus the local
+    subgraph around each hit as GFA."""
+    p = argparse.ArgumentParser(prog="cds-subgraphs")
+    p.add_argument("graph_gfa")
+    p.add_argument("--hmms", required=True)
+    p.add_argument("-o", "--out-prefix", required=True)
+    p.add_argument("--radius", type=int, default=2,
+                   help="neighbourhood depth around hit edges")
+    p.add_argument("--threshold", type=float, default=20.0)
+    a = p.parse_args(argv)
+    from .graph.from_gfa import graph_from_gfa
+    from .graph.graph import edge_mask, edge_codes_host
+    from .io import hmmfile
+    from .models import bio
+    from .ops import dna
+    from .vis import VisSession
+    g = graph_from_gfa(a.graph_gfa)
+    alive = np.nonzero(np.asarray(edge_mask(g)))[0]
+    unitigs = [dna.decode_codes(edge_codes_host(g, int(e)))
+               for e in alive]
+    profiles = hmmfile.load_hmm_set(a.hmms)
+    hits = bio.extract_domains(unitigs, profiles,
+                               score_threshold=a.threshold)
+    with open(a.out_prefix + ".cds.fasta", "w") as f:
+        for i, h in enumerate(hits):
+            f.write(f">{h.name}_{i}_edge_{int(alive[h.contig])}"
+                    f"_{h.nt_start}_{h.nt_end}\n{h.seq}\n")
+    sess = VisSession()
+    sess.g = g
+    sel = set()
+    for h in hits:
+        sel |= sess._neighborhood(int(alive[h.contig]), a.radius)
+    from .io import gfa as gfa_io
+    import jax.numpy as jnp
+    keep = np.zeros(g.capacity, bool)
+    if sel:
+        sel_l = list(sel)
+        keep[sel_l] = True
+        keep[np.asarray(g.conj)[sel_l]] = True
+    sub = g._replace(alive=jnp.asarray(np.asarray(g.alive) & keep))
+    gfa_io.write_gfa(a.out_prefix + ".subgraph.gfa", sub)
+    print(f"{len(hits)} CDS hits, subgraph of {int(keep.sum())} edges",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_mag_improve(argv):
+    """MAG improvement (projects/bin_analysis/bin_refinement.hpp): pull
+    graph-connected neighbour unitigs into a MAG's contig set."""
+    p = argparse.ArgumentParser(prog="mag-improve")
+    p.add_argument("graph_gfa")
+    p.add_argument("mag", help="FASTA of the MAG's contigs")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--radius", type=int, default=1)
+    p.add_argument("--max-added-length", type=int, default=100000)
+    a = p.parse_args(argv)
+    import jax.numpy as jnp
+    from .graph.from_gfa import graph_from_gfa
+    from .graph.graph import edge_codes_host
+    from .models import bio
+    from .ops import dna
+    from .vis import VisSession
+    g = graph_from_gfa(a.graph_gfa)
+    names, seqs = _read_fasta(a.mag)
+    mask = bio.fill_restricted_edges(g, seqs)
+    base = set(int(e) for e in np.nonzero(mask)[0])
+    sess = VisSession()
+    sess.g = g
+    grown = set(base)
+    for e in base:
+        grown |= sess._neighborhood(e, a.radius)
+    added = sorted(grown - base)
+    lens = np.asarray(g.seq_len)
+    total = 0
+    with open(a.output, "w") as f:
+        for name, s in zip(names, seqs):
+            f.write(f">{name}\n{s}\n")
+        conj_done = set()
+        conj = np.asarray(g.conj)
+        for e in added:
+            if e in conj_done or total > a.max_added_length:
+                continue
+            conj_done.add(int(conj[e]))
+            s = dna.decode_codes(edge_codes_host(g, e))
+            total += len(s)
+            f.write(f">added_edge_{e}_len_{len(s)}\n{s}\n")
+    print(f"added {len(added)} neighbour edges ({total} bp)",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_bin_converter(argv):
+    """Convert a pipeline save's packed read store back to FASTQ
+    (projects/bin_converter spades-convert-bin-to-fasta)."""
+    p = argparse.ArgumentParser(prog="bin-converter")
+    p.add_argument("save_dir", help="a saves/<stage> directory")
+    p.add_argument("-o", "--output", required=True)
+    a = p.parse_args(argv)
+    from .pipeline.stages import PipelineContext
+    from .io import fastq
+    ctx = PipelineContext.load(a.save_dir)
+    fastq.write_reads_fastq(a.output, ctx.codes, ctx.lengths)
+    print(f"{len(ctx.lengths)} reads -> {a.output}", file=sys.stderr)
+    return 0
+
+
 TOOLS = {
     "gbuilder": cmd_gbuilder,
     "kmercount": cmd_kmercount,
@@ -295,6 +468,12 @@ TOOLS = {
     "kmer-multiplicity-counter": cmd_kmer_multiplicity_counter,
     "contig-abundance": cmd_contig_abundance,
     "prop-binning": cmd_prop_binning,
+    "vis": cmd_vis,
+    "scf-correction": cmd_scf_correction,
+    "unitig-coverage": cmd_unitig_coverage,
+    "cds-subgraphs": cmd_cds_subgraphs,
+    "mag-improve": cmd_mag_improve,
+    "bin-converter": cmd_bin_converter,
 }
 
 
