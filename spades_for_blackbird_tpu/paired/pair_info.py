@@ -118,3 +118,113 @@ def cluster_distances(idx: PairedIndex, max_spread: jax.Array
         weight=jnp.where(in_range, wsum, 0.0),
         num=num_groups,
     )
+
+
+@jax.jit
+def cluster_distances_smoothing(idx: PairedIndex, max_gap: jax.Array,
+                                min_weight: jax.Array) -> PairedIndex:
+    """Multi-peak distance estimation for wide-insert (mate-pair) data.
+
+    Counterpart of the reference's smoothing estimator
+    (paired_info/smoothing_distance_estimation.hpp:19 +
+    data_divider.hpp + peak_finder.hpp): within each (e1, e2) group the
+    sorted distance observations are divided wherever consecutive
+    distances differ by more than ``max_gap`` (DataDivider), and every
+    cluster above ``min_weight`` becomes one estimated point at its
+    weighted mean (the peak).  Unlike :func:`cluster_distances` this
+    keeps several peaks per edge pair — mate-pair histograms are too
+    broad and multi-modal for a single mode.
+    """
+    N = idx.capacity
+    valid = jnp.arange(N) < idx.num
+    keys2 = jnp.stack([idx.e1.astype(jnp.uint32),
+                       idx.e2.astype(jnp.uint32)], axis=1)
+    new_group = (~segments.rows_equal_prev(keys2)) & valid
+    prev_d = jnp.concatenate([idx.dist[:1], idx.dist[:-1]])
+    gap_break = (idx.dist - prev_d) > max_gap
+    new_cluster = valid & (new_group | gap_break)
+    cid = jnp.cumsum(new_cluster.astype(jnp.int32)) - 1
+    cid = jnp.where(valid, jnp.maximum(cid, 0), N)
+    num_clusters = jnp.sum(new_cluster.astype(jnp.int32))
+
+    wsum = jnp.zeros((N,), jnp.float32).at[cid].add(
+        jnp.where(valid, idx.weight, 0.0), mode="drop")
+    dsum = jnp.zeros((N,), jnp.float32).at[cid].add(
+        jnp.where(valid, idx.weight * idx.dist.astype(jnp.float32), 0.0),
+        mode="drop")
+    ce1 = jnp.zeros((N,), jnp.int32).at[
+        jnp.where(new_cluster, cid, N)].max(idx.e1, mode="drop")
+    ce2 = jnp.zeros((N,), jnp.int32).at[
+        jnp.where(new_cluster, cid, N)].max(idx.e2, mode="drop")
+    in_range = (jnp.arange(N) < num_clusters) & (wsum >= min_weight)
+    dmean = jnp.where(wsum > 0, dsum / jnp.maximum(wsum, 1e-9), 0.0)
+
+    # compact the surviving clusters to the front (stable order)
+    order = jnp.argsort(jnp.where(in_range, jnp.arange(N), N + 1))
+    keep_n = jnp.sum(in_range.astype(jnp.int32))
+    return PairedIndex(
+        e1=jnp.where(jnp.arange(N) < keep_n, ce1[order], 0),
+        e2=jnp.where(jnp.arange(N) < keep_n, ce2[order], 0),
+        dist=jnp.where(jnp.arange(N) < keep_n,
+                       jnp.round(dmean[order]).astype(jnp.int32), 0),
+        weight=jnp.where(jnp.arange(N) < keep_n, wsum[order], 0.0),
+        num=keep_n,
+    )
+
+
+def improve_pair_info(idx: PairedIndex, max_spread: int = 10,
+                      weight_coeff: float = 0.5) -> PairedIndex:
+    """Transitive improvement (paired_info/pair_info_improver.hpp):
+    (A,B,d1) + (B,C,d2) implies (A,C,d1+d2); missing implied points are
+    added with weight ``weight_coeff * min(w1, w2)``, existing nearby
+    points (within ``max_spread``) are left alone.  Host-side: the
+    clustered index is small (one row per adjacent edge pair)."""
+    import numpy as np
+    n = int(idx.num)
+    e1 = np.asarray(idx.e1)[:n]
+    e2 = np.asarray(idx.e2)[:n]
+    d = np.asarray(idx.dist)[:n]
+    w = np.asarray(idx.weight)[:n]
+    by_e1: dict[int, list[int]] = {}
+    existing: dict[tuple[int, int], list[int]] = {}
+    for i in range(n):
+        by_e1.setdefault(int(e1[i]), []).append(i)
+        existing.setdefault((int(e1[i]), int(e2[i])), []).append(i)
+    add = {}
+    for i in range(n):
+        for j in by_e1.get(int(e2[i]), []):
+            a, c = int(e1[i]), int(e2[j])
+            if a == c:
+                continue
+            dd = int(d[i]) + int(d[j])
+            ww = weight_coeff * min(float(w[i]), float(w[j]))
+            near = any(abs(int(d[x]) - dd) <= max_spread
+                       for x in existing.get((a, c), []))
+            if near:
+                continue
+            key = (a, c, dd)
+            add[key] = max(add.get(key, 0.0), ww)
+    if not add:
+        return idx
+    rows = sorted(existing_rows(e1, e2, d, w) + sorted(add.items()))
+    return _rebuild(rows, idx.capacity)
+
+
+def existing_rows(e1, e2, d, w):
+    return [((int(a), int(b), int(dd)), float(ww))
+            for a, b, dd, ww in zip(e1, e2, d, w)]
+
+
+def _rebuild(rows, capacity):
+    import numpy as np
+    n = len(rows)
+    cap = max(capacity, n)
+    E1 = np.zeros(cap, np.int32)
+    E2 = np.zeros(cap, np.int32)
+    D = np.zeros(cap, np.int32)
+    W = np.zeros(cap, np.float32)
+    for i, ((a, b, dd), ww) in enumerate(rows):
+        E1[i], E2[i], D[i], W[i] = a, b, dd, ww
+    return PairedIndex(e1=jnp.asarray(E1), e2=jnp.asarray(E2),
+                       dist=jnp.asarray(D), weight=jnp.asarray(W),
+                       num=jnp.int32(n))

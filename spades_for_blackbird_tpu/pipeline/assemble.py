@@ -115,7 +115,8 @@ def default_k_ladder(read_length: int) -> list[int]:
 
 
 def repeat_resolution(g, codes1, lengths1, codes2, lengths2,
-                      with_scaffolds: bool = False):
+                      with_scaffolds: bool = False,
+                      estimator: str = "simple"):
     """exSPAnder repeat resolution over the final graph using one
     paired-end library (the RepeatResolution stage,
     projects/spades/repeat_resolving.cpp:62).
@@ -146,7 +147,13 @@ def repeat_resolution(g, codes1, lengths1, codes2, lengths2,
     pi = pair_info.fill_paired_index(
         m1, m2, jnp.int32(int(round(stats.median - mean_l2))))
     spread = max(5, int(3 * stats.mad))
-    clustered = pair_info.cluster_distances(pi, jnp.int32(spread))
+    if estimator == "smoothing":
+        # mate pairs: broad, multi-modal histograms -> multi-peak
+        # smoothing estimator (smoothing_distance_estimation.hpp:19)
+        clustered = pair_info.cluster_distances_smoothing(
+            pi, jnp.int32(max(spread, 20)), jnp.float32(2.0))
+    else:
+        clustered = pair_info.cluster_distances(pi, jnp.int32(spread))
     ps = resolver.resolve_paths(g, clustered)
     contigs = resolver.paths_to_contigs(g, ps)
     if not with_scaffolds:

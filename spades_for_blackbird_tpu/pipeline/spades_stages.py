@@ -65,6 +65,10 @@ def make_read_conversion(pe_pairs, interlaced, singles, log, mp_pairs=()):
         ctx.codes = batch.codes
         ctx.lengths = batch.lengths
         ctx.paired_ranges = paired_ranges
+        # mate-pair-only datasets get the smoothing distance estimator
+        # (distance_estimation.cpp picks the estimator per library type)
+        ctx.params["mp_only"] = bool(mp_pairs and not pe_pairs
+                                     and not interlaced)
         ctx.read_length = int(batch.lengths.max()) if batch.num_reads else 0
         log(f"total reads: {batch.num_reads}, max length {ctx.read_length}")
     return Stage("read_conversion", run)
@@ -300,7 +304,9 @@ def make_repeat_resolution(log):
             return
         c1, l1, c2, l2 = _paired_mate_arrays(ctx)
         final, scaffolds = assemble.repeat_resolution(
-            ctx.graph, c1, l1, c2, l2, with_scaffolds=True)
+            ctx.graph, c1, l1, c2, l2, with_scaffolds=True,
+            estimator=("smoothing" if ctx.params.get("mp_only")
+                       else "simple"))
         ctx.final_contigs = final
         ctx.scaffolds = scaffolds
         log(f"resolved {len(final)} paths, {len(scaffolds)} scaffolds")

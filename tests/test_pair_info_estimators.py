@@ -1,0 +1,74 @@
+"""Smoothing (multi-peak) distance estimation + pair info improver."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from spades_for_blackbird_tpu.paired import pair_info
+
+
+def make_index(rows):
+    """rows: [(e1, e2, d, w)] sorted by (e1, e2, d)."""
+    cap = max(len(rows), 8)
+    E1 = np.zeros(cap, np.int32)
+    E2 = np.zeros(cap, np.int32)
+    D = np.zeros(cap, np.int32)
+    W = np.zeros(cap, np.float32)
+    for i, (a, b, d, w) in enumerate(rows):
+        E1[i], E2[i], D[i], W[i] = a, b, d, w
+    return pair_info.PairedIndex(
+        e1=jnp.asarray(E1), e2=jnp.asarray(E2), dist=jnp.asarray(D),
+        weight=jnp.asarray(W), num=jnp.int32(len(rows)))
+
+
+def rows_of(idx):
+    n = int(idx.num)
+    return [(int(idx.e1[i]), int(idx.e2[i]), int(idx.dist[i]),
+             float(idx.weight[i])) for i in range(n)]
+
+
+def test_smoothing_keeps_multiple_peaks():
+    # two distance clusters for (2, 4): ~100 and ~800
+    rows = [(2, 4, 95, 2), (2, 4, 100, 5), (2, 4, 104, 3),
+            (2, 4, 795, 4), (2, 4, 800, 6), (2, 4, 806, 2),
+            (2, 6, 50, 3)]
+    idx = make_index(rows)
+    simple = pair_info.cluster_distances(idx, jnp.int32(30))
+    smooth = pair_info.cluster_distances_smoothing(
+        idx, jnp.int32(50), jnp.float32(2.0))
+    s_rows = rows_of(simple)
+    m_rows = rows_of(smooth)
+    # simple keeps only the mode cluster per pair
+    assert len([r for r in s_rows if r[:2] == (2, 4)]) == 1
+    # smoothing keeps both peaks with the right weights and means
+    peaks = [r for r in m_rows if r[:2] == (2, 4)]
+    assert len(peaks) == 2
+    peaks.sort(key=lambda r: r[2])
+    assert abs(peaks[0][2] - 100) <= 3 and peaks[0][3] == 10.0
+    assert abs(peaks[1][2] - 800) <= 4 and peaks[1][3] == 12.0
+    assert any(r[:2] == (2, 6) for r in m_rows)
+
+
+def test_smoothing_min_weight_drops_noise():
+    rows = [(0, 2, 100, 5), (0, 2, 400, 1)]  # second = lone noise point
+    idx = make_index(rows)
+    out = rows_of(pair_info.cluster_distances_smoothing(
+        idx, jnp.int32(50), jnp.float32(2.0)))
+    assert len(out) == 1 and out[0][2] == 100
+
+
+def test_improver_adds_transitive_point():
+    rows = [(0, 2, 100, 4.0), (2, 4, 200, 6.0)]
+    idx = make_index(rows)
+    out = pair_info.improve_pair_info(idx)
+    got = rows_of(out)
+    assert (0, 4, 300, 2.0) in got
+    assert (0, 2, 100, 4.0) in got and (2, 4, 200, 6.0) in got
+
+
+def test_improver_respects_existing_points():
+    rows = [(0, 2, 100, 4.0), (0, 4, 295, 9.0), (2, 4, 200, 6.0)]
+    idx = make_index(rows)
+    out = pair_info.improve_pair_info(idx, max_spread=10)
+    got = rows_of(out)
+    # implied (0,4,300) is within 10 of existing 295 -> not added
+    assert len([r for r in got if r[:2] == (0, 4)]) == 1
