@@ -22,6 +22,9 @@ import numpy as np
 
 def main():
     import jax
+    from spades_for_blackbird_tpu.utils.jaxcache import (
+        enable_compilation_cache)
+    enable_compilation_cache()
     from spades_for_blackbird_tpu.kmers import counter
 
     k = 21

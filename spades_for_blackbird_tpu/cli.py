@@ -110,6 +110,8 @@ TEST_DATASET = "/root/reference/assembler/test_dataset"
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from .utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
     from .io import fastq
     from .pipeline import assemble, spades_stages
     from .pipeline.stages import PipelineContext, StageManager
