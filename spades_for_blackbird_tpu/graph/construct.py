@@ -34,6 +34,53 @@ def graph_from_reads(codes, lengths, k: int, min_count: int = 1) -> Graph:
     return condense.build_graph(kp1, vt, k)
 
 
+def graph_from_sequences(seqs: list[str], k: int) -> Graph:
+    """Trivial graph: one conjugate edge pair per sequence, fresh
+    vertices (no gluing).  Used by the standalone corrector, which polishes
+    given contigs rather than a de Bruijn graph
+    (projects/corrector/dataset_processor.cpp:173 splits contigs and
+    processes each independently)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from ..ops import dna as dna_ops
+    E = 2 * len(seqs)
+    lens = np.zeros(E, np.int32)
+    codes = []
+    for i, s in enumerate(seqs):
+        c = dna_ops.encode_str(s)
+        codes.append(c)
+        codes.append(np.asarray(dna_ops.revcomp_codes(jnp.asarray(c))))
+        lens[2 * i] = lens[2 * i + 1] = len(s)
+    flat = np.concatenate(codes) if codes else np.zeros(1, np.uint8)
+    starts = np.zeros(E, np.int32)
+    acc = 0
+    for e in range(E):
+        starts[e] = acc
+        acc += int(lens[e])
+    start_v = np.arange(E, dtype=np.int32) * 2
+    end_v = np.arange(E, dtype=np.int32) * 2 + 1
+    # conjugate vertex pairing: start(e) conj = end(conj e)
+    start_v = np.zeros(E, np.int32)
+    end_v = np.zeros(E, np.int32)
+    for i in range(len(seqs)):
+        start_v[2 * i] = 4 * i
+        end_v[2 * i] = 4 * i + 2
+        start_v[2 * i + 1] = 4 * i + 3
+        end_v[2 * i + 1] = 4 * i + 1
+    conj = np.asarray([e ^ 1 for e in range(E)], np.int32)
+    return Graph(
+        seq_flat=jnp.asarray(flat),
+        seq_start=jnp.asarray(starts),
+        seq_len=jnp.asarray(lens),
+        cov=jnp.zeros(E, jnp.float32),
+        start_v=jnp.asarray(start_v),
+        end_v=jnp.asarray(end_v),
+        conj=jnp.asarray(conj),
+        alive=jnp.ones(E, bool),
+        num_edges=jnp.int32(E),
+        k=k)
+
+
 def graph_stats(g: Graph) -> dict:
     """Host-side summary stats (edge count, total length, N50-ish)."""
     import numpy as np

@@ -443,6 +443,37 @@ def cmd_mag_improve(argv):
     return 0
 
 
+def cmd_corrector(argv):
+    """Standalone post-assembly mismatch corrector
+    (projects/corrector spades-corrector-core,
+    dataset_processor.cpp:173 ProcessDataset): map reads onto the given
+    contigs and fix positions by majority vote — no BWA subprocess, the
+    batch mapper plays that role."""
+    p = argparse.ArgumentParser(prog="corrector")
+    p.add_argument("contigs", help="FASTA to polish")
+    p.add_argument("reads", nargs="+")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-k", type=int, default=21,
+                   help="mapping k-mer size")
+    a = p.parse_args(argv)
+    from .graph import construct
+    from .graph.graph import edge_codes_host
+    from .pipeline import mismatch_correction
+    from .ops import dna
+    names, seqs = _read_fasta(a.contigs)
+    g = construct.graph_from_sequences(seqs, a.k)
+    b = _load(a.reads)
+    g2, n = mismatch_correction.correct_mismatches(
+        g, np.asarray(b.codes), np.asarray(b.lengths))
+    with open(a.output, "w") as f:
+        for i, name in enumerate(names):
+            s = dna.decode_codes(edge_codes_host(g2, 2 * i))
+            f.write(f">{name}\n{s}\n")
+    print(f"corrected {n} positions in {len(names)} contigs",
+          file=sys.stderr)
+    return 0
+
+
 def cmd_bin_converter(argv):
     """Convert a pipeline save's packed read store back to FASTQ
     (projects/bin_converter spades-convert-bin-to-fasta)."""
@@ -474,6 +505,7 @@ TOOLS = {
     "cds-subgraphs": cmd_cds_subgraphs,
     "mag-improve": cmd_mag_improve,
     "bin-converter": cmd_bin_converter,
+    "corrector": cmd_corrector,
 }
 
 

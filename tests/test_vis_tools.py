@@ -132,6 +132,22 @@ def test_mag_improve(tmp_path):
         nd.rc(b2[-60:]) in body
 
 
+def test_standalone_corrector(tmp_path):
+    from spades_for_blackbird_tpu import tools
+    genome = random_dna(400, 10)
+    rp = tmp_path / "reads.fa"
+    write_reads(rp, tile(genome, L=60, step=4))
+    bad = list(genome)
+    bad[100] = "A" if bad[100] != "A" else "C"
+    bad[250] = "G" if bad[250] != "G" else "T"
+    cp = tmp_path / "contigs.fa"
+    cp.write_text(">c1\n" + "".join(bad) + "\n")
+    op = str(tmp_path / "fixed.fa")
+    assert tools.main(["corrector", str(cp), str(rp), "-o", op]) == 0
+    fixed = "".join(l.strip() for l in open(op) if not l.startswith(">"))
+    assert fixed == genome
+
+
 def test_bin_converter(tmp_path):
     from spades_for_blackbird_tpu import cli, tools
     genome = random_dna(300, 9)
