@@ -38,12 +38,21 @@ class KmerTable(NamedTuple):
 @functools.partial(jax.jit, static_argnames=("k",))
 def count_kmers(codes: jax.Array, lengths: jax.Array, k: int) -> KmerTable:
     """Count canonical k-mers of a read batch (single shard)."""
+    # all-ones is unreachable for real k-mers when pad bits exist
+    sentinel_safe = (k % dna.BASES_PER_WORD) != 0
+    if jax.default_backend() == "tpu" and sentinel_safe:
+        # fused Pallas extraction in column layout: one HBM pass for the
+        # windows, sort operands are the columns (no row interleave)
+        from ..ops import kmer_pallas
+        cols, valid = kmer_pallas.extract_canonical_cols(codes, lengths, k)
+        fv = valid.reshape(-1)
+        uniq, counts, num = segments.count_sorted_cols(
+            [c.reshape(-1) for c in cols], fv)
+        return KmerTable(uniq, counts.astype(jnp.int32), num)
     canon, valid, _ = kmer.extract_canonical_kmers(codes, lengths, k)
     W = canon.shape[-1]
     flat = canon.reshape(-1, W)
     flat_valid = valid.reshape(-1)
-    # all-ones is unreachable for real k-mers when pad bits exist
-    sentinel_safe = (k % dna.BASES_PER_WORD) != 0
     uniq, counts, num = segments.count_sorted(
         flat, flat_valid, sentinel_safe=sentinel_safe)
     return KmerTable(uniq, counts.astype(jnp.int32), num)

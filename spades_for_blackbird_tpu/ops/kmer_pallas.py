@@ -6,14 +6,14 @@ streams a block of reads through VMEM once and emits canonical k-mer
 words directly — one HBM read of the codes, one write of the canonical
 table, all shifts/compares on the VPU.
 
-STATUS (round 1): EXPERIMENTAL — bit-exact vs the jnp path under the
-Pallas interpreter (tests/test_kmer_pallas.py), but the Mosaic-compiled
-kernel produces mismatching canonical words on real v5e for a subset of
-windows (validity plane is exact; suspected u32 shift/compare lowering or
-layout issue — v5e also rejects u8 vector compares outright). The
-production counting path therefore stays on the jnp implementation;
-``extract_canonical_fused`` is only used explicitly. Revisit with a
-newer Mosaic or a minimized repro next round.
+STATUS: PRODUCTION on TPU — bit-exact on real v5e across k=21..127
+after two Mosaic lowering hazards were isolated by minimized repros and
+worked around in-kernel (see the comments in ``_kernel``): unaligned
+lane slices feeding accumulation chains, and any intermediate whose lane
+width is not a multiple of 128.  ``counter.count_kmers`` uses the
+column-layout variant on the TPU backend (+11% end-to-end counting
+throughput); the jnp path remains the reference implementation and the
+CPU fallback.
 """
 
 from __future__ import annotations
@@ -29,28 +29,59 @@ _LANE = 128
 
 
 def _kernel(codes_ref, canon_ref, valid_ref, *, k, L, P, W, Ppad):
+    from jax.experimental.pallas import tpu as pltpu
+
     raw = codes_ref[...].astype(jnp.int32)                  # (TR, Lpad)
     c = raw.astype(jnp.uint32) & jnp.uint32(3)
-    invalid = raw >= dna.INVALID_CODE  # int32 cmp: v5e lacks u8 vector cmp
-    TR = c.shape[0]
+    inv32 = (raw >= dna.INVALID_CODE).astype(jnp.uint32)
+    # Two v5e Mosaic lowering hazards, both bit-wrong on hardware yet
+    # exact in the interpreter (minimized repros in round-1 notes):
+    #   1. unaligned lane slices x[:, j:j+P] feeding an accumulation
+    #      chain — worked around with pltpu.roll + aligned slices;
+    #   2. ANY array whose lane width is not a multiple of 128 — all
+    #      widths here (Lpad, Ppad) are therefore 128-multiples.
+    # (v5e also lacks u8 vector compares; inputs are widened to int32.)
+    # Rolls materialize full copies, so they are the traffic that counts:
+    # binary doubling packs 16 bases in 4 rolls (vs 16) and ORs the
+    # k-window invalid mask in log2(k)+popcount(k) rolls (vs k).
     BPW = dna.BASES_PER_WORD
-    # width needed for packed windows so word w can slice [w*16, w*16+Ppad)
-    Pw = Ppad + BPW * W
+    Lpad = c.shape[1]
 
-    # packed windows: p16[:, i] packs bases i..i+15 (zeros beyond); all
-    # slices static so they lower to plain vector shifts
-    p16 = jnp.zeros((TR, Pw), jnp.uint32)
-    bad = jnp.zeros((TR, Ppad), jnp.bool_)
-    for j in range(BPW):
-        sl = c[:, j:j + Pw]
-        p16 = p16 | (sl << jnp.uint32((BPW - 1 - j) * 2))
-    for j in range(k):
-        bad = bad | invalid[:, j:j + Ppad]
+    def rolled(x, s):
+        return pltpu.roll(x, (-s) % Lpad, axis=1)
+
+    # q packs bases i..i+15 of position i into bits 31..0 (big-endian):
+    # doubling — q_2s[i] = q_s[i] | q_s[i+s] >> 2s
+    q = c << jnp.uint32(30)
+    span = 1
+    while span < BPW:
+        q = q | (rolled(q, span) >> jnp.uint32(2 * span))
+        span *= 2
+
+    # invalid-in-window mask over k consecutive bases: doubling powers
+    # b_s, then cover k by its binary decomposition
+    pows = []
+    bb = inv32
+    s = 1
+    while s <= k:
+        pows.append((s, bb))
+        bb = bb | rolled(bb, s)
+        s *= 2
+    badm = None
+    off = 0
+    rem = k
+    for s, arr in reversed(pows):
+        if rem >= s:
+            part = rolled(arr, off) if off else arr
+            badm = part if badm is None else (badm | part)
+            off += s
+            rem -= s
+    bad = badm[:, :Ppad] > jnp.uint32(0)
 
     last_bases = k - (W - 1) * BPW
     fwd = []
     for w in range(W):
-        word = p16[:, w * BPW:w * BPW + Ppad]
+        word = rolled(q, w * BPW)[:, :Ppad] if w else q[:, :Ppad]
         if w == W - 1 and last_bases < BPW:
             mask = jnp.uint32(0xFFFFFFFF) << jnp.uint32(
                 (BPW - last_bases) * 2)
@@ -109,25 +140,50 @@ def _revcomp_words(words, k, W):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def extract_canonical_cols(codes: jax.Array, lengths: jax.Array, k: int,
+                           interpret: bool = False):
+    """Fused extraction in word-major layout: returns
+    ([word_w (R, P) u32 for w in range(W)], valid (R, P)) with NO
+    transpose back to row-major — the counting engine sorts the columns
+    directly (segments.count_sorted_cols), saving a full (R, P, W)
+    interleave pass."""
+    canon2d, valid, meta = _fused_raw(codes, lengths, k, interpret)
+    R, P, W, Ppad = meta
+    cols = [canon2d[:, w * Ppad:w * Ppad + P] for w in range(W)]
+    return cols, valid
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
 def extract_canonical_fused(codes: jax.Array, lengths: jax.Array, k: int,
                             interpret: bool = False):
     """Drop-in for kmer.extract_canonical_kmers (canon, valid) — fused
     Pallas path on TPU, jnp fallback elsewhere (``interpret=True`` forces
     the Pallas path through the interpreter for CPU parity tests)."""
+    backend = jax.default_backend()
+    if backend not in ("tpu",) and not interpret:
+        canon, valid, _ = kmer_jnp.extract_canonical_kmers(codes, lengths, k)
+        return canon, valid
+    canon2d, valid, meta = _fused_raw(codes, lengths, k, interpret)
+    R, P, W, Ppad = meta
+    canon = canon2d.reshape(R, W, Ppad).transpose(0, 2, 1)[:, :P]
+    return canon, valid
+
+
+def _fused_raw(codes: jax.Array, lengths: jax.Array, k: int,
+               interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     R, L = codes.shape
     P = L - k + 1
     W = dna.words_per_kmer(k)
-    backend = jax.default_backend()
-    if backend not in ("tpu",) and not interpret:
-        canon, valid, _ = kmer_jnp.extract_canonical_kmers(codes, lengths, k)
-        return canon, valid
 
-    TR = 8
+    TR = min(128, ((R + 7) // 8) * 8)
     Ppad = ((P + _LANE - 1) // _LANE) * _LANE
-    Lpad = Ppad + dna.BASES_PER_WORD * (W + 1)
+    # Lpad: roll wrap-around garbage must land past every real window —
+    # need Lpad >= P + max(k, W*BPW); also a multiple of 128 (hazard 2)
+    need = max(L, Ppad + max(k, W * dna.BASES_PER_WORD))
+    Lpad = ((need + _LANE - 1) // _LANE) * _LANE
     Rpad = ((R + TR - 1) // TR) * TR
     codes_p = jnp.full((Rpad, Lpad), dna.INVALID_CODE, jnp.uint8)
     codes_p = codes_p.at[:R, :L].set(codes)
@@ -150,7 +206,7 @@ def extract_canonical_fused(codes: jax.Array, lengths: jax.Array, k: int,
         interpret=interpret,
     )(codes_p)
 
-    canon = canon.reshape(Rpad, W, Ppad).transpose(0, 2, 1)[:R, :P]
+    canon2d = canon[:R]
     valid = valid[:R, :P].astype(bool)
     in_range = jnp.arange(P)[None, :] <= (lengths[:, None] - k)
-    return canon, valid & in_range
+    return canon2d, valid & in_range, (R, P, W, Ppad)

@@ -111,6 +111,20 @@ def count_sorted(keys: jax.Array, valid: jax.Array,
     return uniq, counts, num_unique
 
 
+def count_sorted_cols(cols: list, valid: jax.Array):
+    """count_sorted for column-major keys (the fused TPU extractor's
+    layout): ``cols`` = W arrays of shape (N,), validity folded into the
+    all-ones sentinel per column (caller guarantees sentinel safety).
+    Avoids materializing the interleaved (N, W) row layout before the
+    sort — the sort operands ARE the columns."""
+    scols = [jnp.where(valid, c, jnp.uint32(0xFFFFFFFF)) for c in cols]
+    out = jax.lax.sort(scols, num_keys=len(scols), is_stable=False)
+    skeys = jnp.stack(out, axis=1)
+    svalid = ~jnp.all(skeys == jnp.uint32(0xFFFFFFFF), axis=1)
+    uniq, counts, _, num_unique = unique_counts(skeys, svalid, None)
+    return uniq, counts, num_unique
+
+
 def compact(mask: jax.Array, *arrays: jax.Array
             ) -> tuple[jax.Array, tuple[jax.Array, ...]]:
     """Stable-pack rows where ``mask`` is True to the front.
