@@ -69,6 +69,60 @@ def fill_paired_index(m1: ReadMapping, m2rc: ReadMapping,
 
 
 @jax.jit
+def fill_paired_index_multi(m1, m2rc, is_shift: jax.Array) -> PairedIndex:
+    """Paired index from CHAIN mappings (mapper.ChainMapping).
+
+    Mirrors the reference's LatePairedIndexFiller over MappingPaths
+    (pair_info_filler.hpp: every (edge of path1, edge of path2)
+    combination gets a point) plus rnaSPAdes' split-read threading
+    (pair_info_count.cpp split-read paths): consecutive placements of
+    ONE read are junction-crossing evidence and enter the same index as
+    zero-shift pairs.
+    """
+    R, C = m1.oriented_edge.shape
+    ok1 = (m1.oriented_edge >= 0) & m1.mapped[:, None]
+    ok2 = (m2rc.oriented_edge >= 0) & m2rc.mapped[:, None]
+
+    rows_e1, rows_e2, rows_d, rows_ok = [], [], [], []
+
+    # cross pairs mate1 x mate2 (C*C per read pair)
+    e1x = jnp.broadcast_to(m1.oriented_edge[:, :, None], (R, C, C))
+    e2x = jnp.broadcast_to(m2rc.oriented_edge[:, None, :], (R, C, C))
+    dx = (m1.start[:, :, None] - m2rc.start[:, None, :]
+          + is_shift.astype(jnp.int32))
+    okx = ok1[:, :, None] & ok2[:, None, :]
+    rows_e1.append(e1x.reshape(-1))
+    rows_e2.append(e2x.reshape(-1))
+    rows_d.append(dx.reshape(-1))
+    rows_ok.append(okx.reshape(-1))
+
+    # split-read chain pairs within each mate (i < j, shift 0)
+    for m, ok in ((m1, ok1), (m2rc, ok2)):
+        for i in range(C - 1):
+            for j in range(i + 1, C):
+                rows_e1.append(m.oriented_edge[:, i])
+                rows_e2.append(m.oriented_edge[:, j])
+                rows_d.append(m.start[:, i] - m.start[:, j])
+                rows_ok.append(ok[:, i] & ok[:, j])
+
+    e1 = jnp.concatenate(rows_e1)
+    e2 = jnp.concatenate(rows_e2)
+    d = jnp.concatenate(rows_d)
+    ok = jnp.concatenate(rows_ok)
+    keys = jnp.stack([
+        e1.astype(jnp.uint32), e2.astype(jnp.uint32),
+        (d + _DIST_BIAS).astype(jnp.uint32)], axis=1)
+    uniq, counts, num = segments.count_sorted(keys, ok)
+    return PairedIndex(
+        e1=uniq[:, 0].astype(jnp.int32),
+        e2=uniq[:, 1].astype(jnp.int32),
+        dist=uniq[:, 2].astype(jnp.int32) - _DIST_BIAS,
+        weight=counts.astype(jnp.float32),
+        num=num,
+    )
+
+
+@jax.jit
 def cluster_distances(idx: PairedIndex, max_spread: jax.Array
                       ) -> PairedIndex:
     """Collapse raw observations into per-(e1,e2) distance estimates.

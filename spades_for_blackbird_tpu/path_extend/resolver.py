@@ -93,18 +93,38 @@ def resolve_paths(g: Graph, paired, params: PEParams | None = None
     def oedge(e):
         return 2 * e
 
-    def support(path, starts, cand) -> float:
-        """Distance-consistent paired support for appending ``cand``."""
+    def support_by_edge(path, starts, cand) -> list[float]:
+        """Distance-consistent paired support for appending ``cand``,
+        per path edge (for the excluding chooser below)."""
         cand_start = starts[-1] + seq_len[path[-1]] - k
-        total = 0.0
+        out = []
         for p, s in zip(path, starts):
             want = cand_start - s
-            if want > params.library_span + seq_len[p]:
-                continue
-            for d, w in pairs.get((oedge(p), oedge(cand)), []):
-                if abs(d - want) <= max(10, 0.2 * max(want, 1)):
-                    total += w
-        return total
+            w = 0.0
+            if want <= params.library_span + seq_len[p]:
+                for d, ww in pairs.get((oedge(p), oedge(cand)), []):
+                    if abs(d - want) <= max(10, 0.2 * max(want, 1)):
+                        w += ww
+            out.append(w)
+        return out
+
+    def choose_scores(path, starts, cands) -> dict:
+        """ExcludingExtensionChooser semantics
+        (extension_chooser.hpp:416): path edges whose support does not
+        discriminate between the candidates (a repeat placed in the path
+        supports every continuation equally) are EXCLUDED; candidates
+        are compared on the decisive evidence only."""
+        per = {c: support_by_edge(path, starts, c) for c in cands}
+        decisive = []
+        for i in range(len(path)):
+            vals = sorted((per[c][i] for c in cands), reverse=True)
+            top, second = vals[0], vals[1]
+            if top >= params.weight_threshold and \
+                    (second == 0 or top / second >= params.ratio_threshold):
+                decisive.append(i)
+        if decisive:
+            return {c: sum(per[c][i] for i in decisive) for c in cands}
+        return {c: sum(per[c]) for c in cands}
 
     # seeds: long edges first (SortByLength, pe_resolver.cpp)
     seeds = [int(e) for e in np.nonzero(alive)[0]
@@ -142,7 +162,7 @@ def resolve_paths(g: Graph, paired, params: PEParams | None = None
                     scores = {c: 1.0}
                     best, second = c, None
                 else:
-                    scores = {c: support(path, starts, c) for c in cands}
+                    scores = choose_scores(path, starts, cands)
                     ranked = sorted(scores, key=lambda c: -scores[c])
                     best, second = ranked[0], ranked[1]
                     if scores[best] < params.weight_threshold:

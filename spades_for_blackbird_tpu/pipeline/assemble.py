@@ -133,19 +133,29 @@ def repeat_resolution(g, codes1, lengths1, codes2, lengths2,
     k = g.k
     idx = eidx.build_edge_index(g, k)
     c2rc = dna.revcomp_reads(codes2, lengths2)
-    m1 = mapper.map_reads(idx, g.seq_len, codes1, lengths1, k)
-    m2 = mapper.map_reads(idx, g.seq_len, c2rc, lengths2, k)
-    m1 = mapper.normalize_mapping(m1, g.conj)
-    m2 = mapper.normalize_mapping(m2, g.conj)
+    # chain mappings: junction-spanning reads place on EVERY traversed
+    # edge (the MappingPath equivalent) — pair filling uses all edge
+    # combinations + split-read adjacency pairs
+    ch1 = mapper.map_reads_multi(idx, g.seq_len, codes1, lengths1, k)
+    ch2 = mapper.map_reads_multi(idx, g.seq_len, c2rc, lengths2, k)
+    ch1 = mapper.normalize_chain(ch1, g.conj)
+    ch2 = mapper.normalize_chain(ch2, g.conj)
 
+    def first_placement(ch):
+        return mapper.ReadMapping(
+            oriented_edge=ch.oriented_edge[:, 0], start=ch.start[:, 0],
+            votes=ch.votes[:, 0], mapped=ch.mapped)
+
+    m1 = first_placement(ch1)
+    m2 = first_placement(ch2)
     stats = insert_size.estimate_insert_size(m1, m2, np.asarray(lengths2))
     if stats.count == 0:
         from ..io import fasta
         contigs = fasta.graph_contigs(g, min_length=2 * k)
         return (contigs, contigs) if with_scaffolds else contigs
     mean_l2 = float(np.asarray(lengths2).mean())
-    pi = pair_info.fill_paired_index(
-        m1, m2, jnp.int32(int(round(stats.median - mean_l2))))
+    pi = pair_info.fill_paired_index_multi(
+        ch1, ch2, jnp.int32(int(round(stats.median - mean_l2))))
     spread = max(5, int(3 * stats.mad))
     if estimator == "smoothing":
         # mate pairs: broad, multi-modal histograms -> multi-peak
