@@ -71,6 +71,14 @@ def filter_min_count(table: KmerTable, min_count: jax.Array) -> KmerTable:
     return KmerTable(kmers, counts, num)
 
 
+def trim_table(t: KmerTable) -> KmerTable:
+    """Round capacity to the next power of two so merge shapes (and
+    their jit compilations) stay bucketed instead of unique per call."""
+    cap = 1 << max(1, int(t.num) - 1).bit_length()
+    cap = min(cap, t.capacity)
+    return KmerTable(t.kmers[:cap], t.counts[:cap], t.num)
+
+
 def count_kmers_chunked(codes, lengths, k: int,
                         chunk_reads: int = 1 << 20) -> KmerTable:
     """Count k-mers of a batch too large for device memory in one sort.
@@ -88,13 +96,7 @@ def count_kmers_chunked(codes, lengths, k: int,
     R = codes.shape[0]
     if R <= chunk_reads:
         return count_kmers(jnp.asarray(codes), jnp.asarray(lengths), k)
-    def pow2_trim(t: KmerTable) -> KmerTable:
-        # round capacity to the next power of two so merge shapes (and
-        # their jit compilations) stay bucketed instead of unique per call
-        cap = 1 << max(1, int(t.num) - 1).bit_length()
-        cap = min(cap, t.capacity)
-        return KmerTable(t.kmers[:cap], t.counts[:cap], t.num)
-
+    pow2_trim = trim_table
     table = None
     for lo in range(0, R, chunk_reads):
         hi = min(lo + chunk_reads, R)
