@@ -76,25 +76,38 @@ def correct_batch(codes: jax.Array, lengths: jax.Array,
 
 
 def correct_reads(codes, lengths, k: int = 21, max_iterations: int = 2,
-                  center_ratio: float = 10.0):
+                  center_ratio: float = 10.0, quals=None):
     """Iterative BayesHammer-style correction (main loop,
     projects/hammer/main.cpp:55): count -> cluster -> correct until no
     changes or max_iterations.
+
+    With ``quals`` (raw phred+33), solidity uses quality mass instead of
+    raw counts (kmer_stat.hpp's quality statistic): error k-mers built
+    from miscalled bases fall below the threshold even when their raw
+    count would pass.
 
     Returns (corrected_codes np.ndarray, stats dict).
     """
     import jax as _jax
     codes = jnp.asarray(codes)
     lengths = jnp.asarray(lengths)
+    if quals is not None:
+        quals = jnp.asarray(quals)
     total_changed = 0
     stats = {}
     for it in range(max_iterations):
-        table = counter.count_kmers(codes, lengths, k)
+        if quals is not None:
+            table, qweight = counter.count_kmers_quality(
+                codes, lengths, quals, k)
+            cluster_counts = jnp.round(qweight).astype(jnp.int32)
+        else:
+            table = counter.count_kmers(codes, lengths, k)
+            cluster_counts = table.counts
         ginfo = coverage_model.fit_coverage_model(
-            np.asarray(table.counts[:int(table.num)]))
+            np.asarray(cluster_counts[:int(table.num)]))
         good_thr = max(ginfo.ec_bound, 2.0)
         clusters = cluster_kmers(
-            table.kmers, table.counts, table.num, k,
+            table.kmers, cluster_counts, table.num, k,
             jnp.int32(int(good_thr)), jnp.float32(center_ratio))
         res = correct_batch(codes, lengths, table, clusters, k)
         changed = int(res.changed_bases)

@@ -24,6 +24,7 @@ class ReadBatch:
     codes: np.ndarray     # (R, L) uint8, INVALID_CODE padding
     lengths: np.ndarray   # (R,) int32
     names: list[str] | None = None
+    quals: np.ndarray | None = None   # (R, L) uint8 raw phred+33, 0 pad
 
     @property
     def num_reads(self) -> int:
@@ -113,24 +114,61 @@ def peek_read_length(path: str, n: int = 100) -> int:
 
 
 def load_reads(path: str, max_len: int | None = None,
-               keep_names: bool = False) -> ReadBatch:
+               keep_names: bool = False,
+               with_quals: bool = False) -> ReadBatch:
     if not keep_names and max_len is None:
         # hot path: native zlib parser packing straight into the tensor
         # (replaces the reference's kseq streams + binary read store)
         from .. import native
-        out = native.load_reads_native(path)
+        want_quals = with_quals
+        if want_quals:
+            with _open_text(path) as fh:
+                first = fh.read(1)
+            want_quals = first == "@"  # FASTA has no qualities
+        out = native.load_reads_native(path, with_quals=want_quals)
         if out is not None:
+            if want_quals:
+                return ReadBatch(out[0], out[1], None, out[2])
             return ReadBatch(out[0], out[1], None)
     names, seqs = read_sequences(path)
     codes, lengths = dna.encode_reads(seqs, max_len=max_len)
-    return ReadBatch(codes, lengths, names if keep_names else None)
+    quals = None
+    if with_quals:
+        qs = _read_qualities(path)
+        if qs is not None:
+            quals = np.zeros_like(codes)
+            for i, q in enumerate(qs):
+                arr = np.frombuffer(q.encode(), np.uint8)[:codes.shape[1]]
+                quals[i, :len(arr)] = arr
+    return ReadBatch(codes, lengths, names if keep_names else None, quals)
 
 
-def load_paired_reads(left: str, right: str, max_len: int | None = None
+def _read_qualities(path: str) -> list[str] | None:
+    """FASTQ quality strings (None for FASTA)."""
+    with _open_text(path) as f:
+        first = f.readline()
+        if not first or not first.startswith("@"):
+            return None
+        out = []
+        f.seek(0)
+        while True:
+            if not f.readline():
+                break
+            f.readline()
+            f.readline()
+            q = f.readline()
+            if not q:
+                break
+            out.append(q.rstrip())
+        return out
+
+
+def load_paired_reads(left: str, right: str, max_len: int | None = None,
+                      with_quals: bool = False
                       ) -> tuple[ReadBatch, ReadBatch]:
     """Load a paired-end library (two mate files, same read count/order)."""
-    lb = load_reads(left, max_len=max_len)
-    rb = load_reads(right, max_len=max_len)
+    lb = load_reads(left, max_len=max_len, with_quals=with_quals)
+    rb = load_reads(right, max_len=max_len, with_quals=with_quals)
     if lb.num_reads != rb.num_reads:
         raise ValueError(
             f"paired files disagree: {lb.num_reads} vs {rb.num_reads} reads")
@@ -139,6 +177,9 @@ def load_paired_reads(left: str, right: str, max_len: int | None = None
         if b.max_len < L:
             pad = np.full((b.num_reads, L - b.max_len), dna.INVALID_CODE,
                           dtype=np.uint8)
+            if b.quals is not None:
+                b.quals = np.concatenate(
+                    [b.quals, np.zeros_like(pad)], axis=1)
             b.codes = np.concatenate([b.codes, pad], axis=1)
     return lb, rb
 
@@ -162,6 +203,17 @@ def write_reads_fastq(path: str, codes, lengths, prefix: str = "read"
 
 def concat_batches(batches: list[ReadBatch]) -> ReadBatch:
     L = max(b.max_len for b in batches)
+    quals = None
+    if batches and all(b.quals is not None for b in batches):
+        qs = []
+        for b in batches:
+            q = b.quals
+            if q.shape[1] < L:
+                q = np.concatenate(
+                    [q, np.zeros((q.shape[0], L - q.shape[1]), np.uint8)],
+                    axis=1)
+            qs.append(q)
+        quals = np.concatenate(qs, axis=0)
     codes = []
     for b in batches:
         c = b.codes
@@ -171,4 +223,5 @@ def concat_batches(batches: list[ReadBatch]) -> ReadBatch:
             c = np.concatenate([c, pad], axis=1)
         codes.append(c)
     return ReadBatch(np.concatenate(codes, axis=0),
-                     np.concatenate([b.lengths for b in batches]))
+                     np.concatenate([b.lengths for b in batches]),
+                     None, quals)

@@ -71,6 +71,41 @@ def filter_min_count(table: KmerTable, min_count: jax.Array) -> KmerTable:
     return KmerTable(kmers, counts, num)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def count_kmers_quality(codes: jax.Array, lengths: jax.Array,
+                        quals: jax.Array, k: int):
+    """Count canonical k-mers with per-k-mer quality mass.
+
+    The BayesHammer counting statistic (projects/hammer kmer_stat.hpp:
+    each k-mer instance carries its bases' error probabilities): a
+    k-mer's quality weight is the product over its bases of
+    (1 - 10^(-phred/10)), summed over instances.  Error k-mers drawn
+    from miscalled (low-quality) bases collect far less quality mass
+    than their raw count suggests.
+
+    Returns (KmerTable with integer counts, qweight (N,) float32).
+    """
+    canon, valid, _ = kmer.extract_canonical_kmers(codes, lengths, k)
+    R, P, W = canon.shape
+    q = jnp.maximum(quals.astype(jnp.float32) - 33.0, 0.0)
+    perr = jnp.minimum(jnp.power(10.0, -q / 10.0), 0.75)
+    lp = jnp.log1p(-perr)
+    cs0 = jnp.concatenate([jnp.zeros((R, 1), jnp.float32),
+                           jnp.cumsum(lp, axis=1)], axis=1)
+    w = jnp.exp(cs0[:, k:P + k] - cs0[:, :P])        # (R, P)
+
+    flat = canon.reshape(-1, W)
+    fvalid = valid.reshape(-1)
+    skeys, (sw,), svalid = segments.sort_by_key_rows(
+        flat, (w.reshape(-1),), fvalid)
+    uniq, counts, gid, num = segments.unique_counts(skeys, svalid)
+    N = skeys.shape[0]
+    scatter_gid = jnp.where(svalid, gid, N)
+    qweight = jnp.zeros((N,), jnp.float32).at[scatter_gid].add(
+        sw, mode="drop")
+    return KmerTable(uniq, counts.astype(jnp.int32), num), qweight
+
+
 def trim_table(t: KmerTable) -> KmerTable:
     """Round capacity to the next power of two so merge shapes (and
     their jit compilations) stay bucketed instead of unique per call."""

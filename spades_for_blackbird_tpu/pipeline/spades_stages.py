@@ -25,7 +25,7 @@ def make_read_conversion(pe_pairs, interlaced, singles, log, mp_pairs=()):
         paired_ranges = []
         row = 0
         for p1, p2 in pe_pairs:
-            b1, b2 = fastq.load_paired_reads(p1, p2)
+            b1, b2 = fastq.load_paired_reads(p1, p2, with_quals=True)
             batches += [b1, b2]
             paired_ranges.append((row, b1.num_reads,
                                   row + b1.num_reads, b2.num_reads))
@@ -46,24 +46,28 @@ def make_read_conversion(pe_pairs, interlaced, singles, log, mp_pairs=()):
             log(f"loaded mate-pair library {p1} + {p2}: "
                 f"{b1.num_reads} pairs (RF->FR)")
         for ip in interlaced:
-            b = fastq.load_reads(ip)
+            b = fastq.load_reads(ip, with_quals=True)
             # even rows = first mates, odd = second; split into halves
             half = b.num_reads // 2
-            ev = fastq.ReadBatch(b.codes[0::2], b.lengths[0::2])
-            od = fastq.ReadBatch(b.codes[1::2], b.lengths[1::2])
+            q = b.quals
+            ev = fastq.ReadBatch(b.codes[0::2], b.lengths[0::2], None,
+                                 q[0::2] if q is not None else None)
+            od = fastq.ReadBatch(b.codes[1::2], b.lengths[1::2], None,
+                                 q[1::2] if q is not None else None)
             batches += [ev, od]
             paired_ranges.append((row, ev.num_reads,
                                   row + ev.num_reads, od.num_reads))
             row += ev.num_reads + od.num_reads
             log(f"loaded interlaced library {ip}: {half} pairs")
         for sp in singles:
-            b = fastq.load_reads(sp)
+            b = fastq.load_reads(sp, with_quals=True)
             batches.append(b)
             row += b.num_reads
             log(f"loaded single library {sp}: {b.num_reads} reads")
         batch = fastq.concat_batches(batches)
         ctx.codes = batch.codes
         ctx.lengths = batch.lengths
+        ctx.quals = batch.quals  # None when any library lacks qualities
         ctx.paired_ranges = paired_ranges
         # mate-pair-only datasets get the smoothing distance estimator
         # (distance_estimation.cpp picks the estimator per library type)
@@ -78,7 +82,8 @@ def make_error_correction(log, k: int = 21, output_dir: str | None = None):
     def run(ctx: PipelineContext):
         from ..hammer import correct as hammer_correct
         corrected, hstats = hammer_correct.correct_reads(
-            ctx.codes, ctx.lengths, k=k)
+            ctx.codes, ctx.lengths, k=k,
+            quals=getattr(ctx, "quals", None))
         log(f"correction: {hstats}")
         ctx.codes = corrected
         ctx.params["hammer"] = hstats

@@ -30,6 +30,7 @@ class PipelineContext:
     def __init__(self):
         self.codes: np.ndarray | None = None      # (R, L) uint8
         self.lengths: np.ndarray | None = None    # (R,) int32
+        self.quals: np.ndarray | None = None      # (R, L) uint8 phred+33
         self.paired_ranges: list[tuple[int, int, int, int]] = []
         # each: (start1, count1, start2, count2) row ranges into codes
         self.read_length: int = 0
@@ -48,6 +49,8 @@ class PipelineContext:
         if self.codes is not None:
             arrays["codes"] = np.asarray(self.codes)
             arrays["lengths"] = np.asarray(self.lengths)
+            if self.quals is not None:
+                arrays["quals"] = np.asarray(self.quals)
         if self.graph is not None:
             g = self.graph
             for name in ("seq_flat", "seq_start", "seq_len", "cov",
@@ -77,6 +80,8 @@ class PipelineContext:
         if "codes" in data:
             ctx.codes = data["codes"]
             ctx.lengths = data["lengths"]
+            if "quals" in data:
+                ctx.quals = data["quals"]
         if "graph_seq_flat" in data:
             import jax.numpy as jnp
             ctx.graph = Graph(
