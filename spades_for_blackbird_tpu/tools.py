@@ -20,6 +20,7 @@ Tools:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -474,6 +475,58 @@ def cmd_corrector(argv):
     return 0
 
 
+def cmd_truspades(argv):
+    """truSPAdes: per-barcode assembly of TruSeq synthetic long reads
+    (assembler/truspades.py + spades_pipeline/truspades/: extract
+    barcodes -> assemble each barcode's read set -> merged TSLR FASTA,
+    then scaffold correction via 'tools scf-correction')."""
+    p = argparse.ArgumentParser(prog="truspades")
+    p.add_argument("--input-dir", dest="input_dirs", action="append",
+                   required=True,
+                   help="directory of per-barcode read files; mate pairs "
+                        "are <barcode>_1/<barcode>_2, else single")
+    p.add_argument("-o", "--output-dir", required=True)
+    p.add_argument("-k", type=int, default=21)
+    a = p.parse_args(argv)
+    import re
+    from . import cli
+    os.makedirs(a.output_dir, exist_ok=True)
+    # barcode extraction (truspades/barcode_extraction.py role): group
+    # files by <barcode>[_12] stem
+    barcodes: dict[str, dict] = {}
+    for d in a.input_dirs:
+        for fn in sorted(os.listdir(d)):
+            m = re.match(r"(.+?)(?:_(1|2))?\.(fastq|fq|fasta|fa)"
+                         r"(\.gz)?$", fn)
+            if not m:
+                continue
+            bc, mate = m.group(1), m.group(2)
+            rec = barcodes.setdefault(bc, {})
+            rec[mate or "s"] = os.path.join(d, fn)
+    n_ok = 0
+    tslr_path = os.path.join(a.output_dir, "TSLR.fasta")
+    with open(tslr_path, "w") as tslr:
+        for bc, rec in sorted(barcodes.items()):
+            out = os.path.join(a.output_dir, "barcodes", bc)
+            args = ["-o", out, "--only-assembler", "-k", str(a.k)]
+            if "1" in rec and "2" in rec:
+                args += ["-1", rec["1"], "-2", rec["2"]]
+            elif "s" in rec:
+                args += ["-s", rec["s"]]
+            else:
+                continue
+            if cli.main(args) != 0:
+                print(f"barcode {bc}: assembly failed", file=sys.stderr)
+                continue
+            names, seqs = _read_fasta(os.path.join(out, "contigs.fasta"))
+            for i, s in enumerate(seqs):
+                tslr.write(f">{bc}_{i}_len_{len(s)}\n{s}\n")
+            n_ok += 1
+    print(f"assembled {n_ok}/{len(barcodes)} barcodes -> {tslr_path}",
+          file=sys.stderr)
+    return 0 if n_ok else 1
+
+
 def cmd_bin_converter(argv):
     """Convert a pipeline save's packed read store back to FASTQ
     (projects/bin_converter spades-convert-bin-to-fasta)."""
@@ -506,6 +559,7 @@ TOOLS = {
     "mag-improve": cmd_mag_improve,
     "bin-converter": cmd_bin_converter,
     "corrector": cmd_corrector,
+    "truspades": cmd_truspades,
 }
 
 

@@ -136,10 +136,19 @@ class VisSession:
         if not hits:
             print("not found")
 
+    def cmd_html(self, out="graph.html"):
+        """Standalone interactive HTML view (webvis equivalent)."""
+        if self._need():
+            return
+        from .io.webvis import write_webvis_html
+        write_webvis_html(out, self.g)
+        print(f"wrote {out}")
+
     def cmd_help(self):
         print("commands: load <gfa> | stats | edges [n] | edge <id> | "
               "seq <id> [a b] | neigh <id> [depth] | "
-              "draw <id> [depth] [out.dot] | find <dna> | quit")
+              "draw <id> [depth] [out.dot] | html [out.html] | "
+              "find <dna> | quit")
 
     # --- loop -----------------------------------------------------
     def run(self, stream=None) -> int:
