@@ -85,6 +85,75 @@ def degrees(g: Graph, v_space: int) -> tuple[jax.Array, jax.Array]:
     return out_deg, in_deg
 
 
+def compact_graph(g: Graph) -> tuple["Graph", int]:
+    """Pack alive edges to the front and renumber vertices densely.
+
+    Construction leaves the edge table at the (k+1)-mer table's padded
+    capacity (graph/condense.py) — orders of magnitude above the unitig
+    count — so every downstream pass would scatter into huge arrays and
+    every jit graph would compile at those shapes.  Compaction (host-side,
+    once per construction) trims capacities to power-of-two buckets so
+    pass shapes are small AND stable across similar inputs.
+
+    Conjugate pairing of vertices (v <-> v^1) is preserved by remapping
+    vertex PAIRS.  Returns (graph, new_v_space).
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    alive = np.asarray(edge_mask(g))
+    ids = np.nonzero(alive)[0]
+    n = len(ids)
+    E2 = 1 << max(3, int(n - 1).bit_length() if n else 3)
+    new_of = np.full(g.capacity, E2, np.int64)
+    new_of[ids] = np.arange(n)
+
+    start_v = np.asarray(g.start_v)[ids]
+    end_v = np.asarray(g.end_v)[ids]
+    conj = new_of[np.asarray(g.conj)[ids]]
+    # dense vertex renumbering by conjugate pair
+    bases = np.unique(np.concatenate([start_v, end_v]) // 2)
+    base_rank = {int(b): i for i, b in enumerate(bases)}
+    def remap_v(v):
+        return np.asarray([2 * base_rank[int(x) // 2] + (int(x) & 1)
+                           for x in v], np.int32)
+    start_v = remap_v(start_v)
+    end_v = remap_v(end_v)
+    n_v = 2 * len(bases)
+    v_space = 1 << max(3, int(max(n_v - 1, 1)).bit_length())
+
+    lens = np.asarray(g.seq_len)[ids]
+    flat = np.asarray(g.seq_flat)
+    starts = np.asarray(g.seq_start)[ids]
+    total = int(lens.sum())
+    FLAT2 = 1 << max(4, int(max(total - 1, 1)).bit_length())
+    new_flat = np.zeros(FLAT2, np.uint8)
+    new_start = np.zeros(E2, np.int32)
+    acc = 0
+    for i in range(n):
+        new_start[i] = acc
+        new_flat[acc:acc + lens[i]] = flat[starts[i]:starts[i] + lens[i]]
+        acc += int(lens[i])
+
+    def padded(x, fill, dtype):
+        out = np.full(E2, fill, dtype)
+        out[:n] = x
+        return out
+
+    g2 = Graph(
+        seq_flat=jnp.asarray(new_flat),
+        seq_start=jnp.asarray(new_start),
+        seq_len=jnp.asarray(padded(lens, 0, np.int32)),
+        cov=jnp.asarray(padded(np.asarray(g.cov)[ids], 0.0, np.float32)),
+        start_v=jnp.asarray(padded(start_v, 0, np.int32)),
+        end_v=jnp.asarray(padded(end_v, 0, np.int32)),
+        conj=jnp.asarray(padded(conj, 0, np.int32).astype(np.int32)),
+        alive=jnp.asarray(np.arange(E2) < n),
+        num_edges=jnp.int32(n),
+        k=g.k)
+    return g2, v_space
+
+
 def edge_codes_host(g: Graph, e: int):
     """Host-side helper: edge sequence as a numpy code array."""
     import numpy as np

@@ -70,9 +70,13 @@ def assemble_single_k(codes, lengths, k: int,
         kp1 = counter.filter_min_count(kp1, min_kmer_count)
     from ..kmers import extension
     from ..graph import condense
+    from ..graph.graph import compact_graph
     vt = extension.build_vertex_table(kp1, k)
     g = condense.build_graph(kp1, vt, k)
-    v_space = 2 * vt.capacity
+    # trim the table-capacity-sized graph to compact power-of-two
+    # shapes: simplification scatters and their compiles scale with
+    # edge capacity, not with the (k+1)-mer table
+    g, v_space = compact_graph(g)
 
     # Simplification; restricted sequences (blackbird fork /
     # biosyntheticSPAdes, restricted_edges_filling.cpp:16-41) protect
