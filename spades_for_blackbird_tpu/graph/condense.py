@@ -34,7 +34,7 @@ from ..kmers.counter import KmerTable
 from ..kmers import extension
 from ..ops import dna, segments
 from . import pointer_jump
-from .graph import Graph
+from .graph import FLANKING_RANGE, Graph
 
 
 def _single_bit_index(mask: jax.Array) -> jax.Array:
@@ -96,8 +96,14 @@ def build_graph(kp1_table: KmerTable, vt: extension.VertexTable, k: int
 
     chain_len = jnp.zeros((O,), jnp.int32).at[uid_safe].max(
         off + 1, mode="drop")
+    o_counts = kp1_table.counts[jnp.arange(O) // 2].astype(jnp.float32)
     cov_sum = jnp.zeros((O,), jnp.float32).at[uid_safe].add(
-        kp1_table.counts[jnp.arange(O) // 2].astype(jnp.float32), mode="drop")
+        o_counts, mode="drop")
+    # flanking coverage: average multiplicity of the unitig's first
+    # FLANKING_RANGE (k+1)-mers (detail_coverage.hpp FlankingCoverage)
+    in_flank = off < FLANKING_RANGE
+    flank_sum = jnp.zeros((O,), jnp.float32).at[
+        jnp.where(in_flank, uid_safe, O)].add(o_counts, mode="drop")
 
     is_last = ovalid & (off == chain_len[jnp.minimum(uid, O - 1)] - 1)
     last_node = jnp.zeros((O,), jnp.int32).at[
@@ -133,6 +139,8 @@ def build_graph(kp1_table: KmerTable, vt: extension.VertexTable, k: int
 
     real = jnp.arange(O) < num_unitigs
     cov = jnp.where(chain_len > 0, cov_sum / jnp.maximum(chain_len, 1), 0.0)
+    flank = flank_sum / jnp.maximum(
+        jnp.minimum(chain_len, FLANKING_RANGE), 1).astype(jnp.float32)
     return Graph(
         seq_flat=seq_flat,
         seq_start=seq_start,
@@ -144,4 +152,5 @@ def build_graph(kp1_table: KmerTable, vt: extension.VertexTable, k: int
         alive=real,
         num_edges=num_unitigs,
         k=k,
+        flank=jnp.where(real, flank, 0.0),
     )

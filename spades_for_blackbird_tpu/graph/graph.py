@@ -56,6 +56,14 @@ class Graph:
     alive: jax.Array
     num_edges: jax.Array
     k: int = field(metadata=dict(static=True))
+    # average coverage of the first min(len-k, FLANKING_RANGE) (k+1)-mers
+    # (the reference's FlankingCoverage::CoverageOfStart,
+    # graph_support/detail_coverage.hpp:80; the end flank is the
+    # conjugate's start flank). None when the graph source has no
+    # per-position coverage (GFA input, synthetic graphs) — consumers
+    # fall back to whole-edge coverage (RelativeAvgCovHelper,
+    # relative_coverage_remover.hpp:167).
+    flank: jax.Array | None = None
 
     @property
     def capacity(self) -> int:
@@ -63,6 +71,22 @@ class Graph:
 
     def _replace(self, **kw) -> "Graph":
         return dataclasses.replace(self, **kw)
+
+
+# config.info:180 flanking_range
+FLANKING_RANGE = 55
+
+
+def flank_start(g: Graph) -> jax.Array:
+    """Local coverage at each edge's start (FlankingCoverage::
+    CoverageOfStart); whole-edge coverage when flanks are absent."""
+    return g.cov if g.flank is None else g.flank
+
+
+def flank_end(g: Graph) -> jax.Array:
+    """Local coverage at each edge's end = the conjugate's start flank
+    (detail_coverage.hpp:86 CoverageOfEnd)."""
+    return g.cov if g.flank is None else g.flank[g.conj]
 
 
 def conj_vertex(v: jax.Array) -> jax.Array:
@@ -150,7 +174,9 @@ def compact_graph(g: Graph) -> tuple["Graph", int]:
         conj=jnp.asarray(padded(conj, 0, np.int32).astype(np.int32)),
         alive=jnp.asarray(np.arange(E2) < n),
         num_edges=jnp.int32(n),
-        k=g.k)
+        k=g.k,
+        flank=(None if g.flank is None else jnp.asarray(
+            padded(np.asarray(g.flank)[ids], 0.0, np.float32))))
     return g2, v_space
 
 

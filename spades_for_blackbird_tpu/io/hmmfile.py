@@ -64,6 +64,7 @@ def read_hmm_file(path: str) -> list[HMMProfile]:
             match = np.zeros((m, NUM_AA + 1), np.float32)
             trans = np.zeros((m + 1, 7), np.float64)
             node = 0
+            node0_done = False
             for row in lines:
                 rt = row.split()
                 if not rt:
@@ -75,7 +76,18 @@ def read_hmm_file(path: str) -> list[HMMProfile]:
                     t0 = next(lines).split()         # node-0 transitions
                     trans[0] = [-_val(x) if _val(x) != math.inf else NEG
                                 for x in t0[:7]]
+                    node0_done = True
                     continue
+                if not node0_done and not rt[0].isdigit():
+                    # COMPO is optional (hmmbuild --nocompo): this row is
+                    # the node-0 insert-emission line; the next holds the
+                    # node-0 transitions.
+                    t0 = next(lines).split()
+                    trans[0] = [-_val(x) if _val(x) != math.inf else NEG
+                                for x in t0[:7]]
+                    node0_done = True
+                    continue
+                node0_done = True
                 node = int(rt[0])
                 emis = [_val(x) for x in rt[1:1 + NUM_AA]]
                 # log-odds: log(p/bg) = -val - log(bg)

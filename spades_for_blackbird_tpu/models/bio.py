@@ -45,9 +45,14 @@ class DomainHit:
     seq: str           # nucleotide subsequence (forward strand of contig)
 
 
+_COMP = {"A": "T", "C": "G", "G": "C", "T": "A"}
+_CODE = {"A": 0, "C": 1, "G": 2, "T": 3}
+
+
 def _rc(s: str) -> str:
-    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
-    return "".join(comp[c] for c in reversed(s))
+    # tolerate N/lowercase/IUPAC bases in external FASTA (mapped to A,
+    # matching dna.encode_reads' tolerant encoding)
+    return "".join(_COMP.get(c.upper(), "T") for c in reversed(s))
 
 
 def extract_domains(contigs: list[str], profiles,
@@ -63,7 +68,7 @@ def extract_domains(contigs: list[str], profiles,
     for ci, seq in enumerate(contigs):
         for strand, s in ((1, seq), (-1, _rc(seq))):
             dna_codes = np.asarray(
-                [{"A": 0, "C": 1, "G": 2, "T": 3}[c] for c in s], np.uint8)
+                [_CODE.get(c.upper(), 0) for c in s], np.uint8)
             for fr in range(3):
                 aa_codes = aa_ops.translate_codes(dna_codes, fr)
                 if len(aa_codes):
@@ -118,10 +123,10 @@ def fill_restricted_edges(g: Graph, seqs: list[str]) -> np.ndarray:
     if not seqs:
         return mask
     k = g.k
-    idx = eidx.build_edge_index(g, k)
+    idx = eidx.build_edge_index(g, k + 1)
     codes, lengths = dna.encode_reads(seqs)
     edge, _, _, found = mapper.map_kmers(idx, jnp.asarray(codes),
-                                         jnp.asarray(lengths), k)
+                                         jnp.asarray(lengths), k + 1)
     edge = np.asarray(edge)
     found = np.asarray(found)
     edges = np.unique(edge[found])

@@ -25,9 +25,9 @@ def strand_specific_coverage(g: Graph, codes, lengths
     from ..mapping import mapper
 
     k = g.k
-    idx = eidx.build_edge_index(g, k)
+    idx = eidx.build_edge_index(g, k + 1)
     m = mapper.map_reads(idx, g.seq_len, jnp.asarray(codes),
-                         jnp.asarray(lengths), k)
+                         jnp.asarray(lengths), k + 1)
     oe = np.asarray(m.oriented_edge)
     ok = np.asarray(m.mapped)
     E = g.capacity
@@ -80,9 +80,9 @@ def binned_strand_coverage(g: Graph, codes, lengths, bin_size: int = 50,
     from ..mapping import mapper
 
     k = g.k
-    idx = eidx.build_edge_index(g, k)
+    idx = eidx.build_edge_index(g, k + 1)
     m = mapper.map_reads(idx, g.seq_len, jnp.asarray(codes),
-                         jnp.asarray(lengths), k)
+                         jnp.asarray(lengths), k + 1)
     oe = np.asarray(m.oriented_edge)
     st = np.asarray(m.start)
     ok = np.asarray(m.mapped) & (oe >= 0)

@@ -77,9 +77,9 @@ def bin_reads(g: Graph, edge_bins: dict[int, str], codes, lengths
     from ..mapping import index as eidx
     from ..mapping import mapper
 
-    idx = eidx.build_edge_index(g, g.k)
+    idx = eidx.build_edge_index(g, g.k + 1)
     m = mapper.map_reads(idx, g.seq_len, jnp.asarray(codes),
-                         jnp.asarray(lengths), g.k)
+                         jnp.asarray(lengths), g.k + 1)
     m = mapper.normalize_mapping(m, g.conj)
     oe = np.asarray(m.oriented_edge) // 2
     ok = np.asarray(m.mapped)

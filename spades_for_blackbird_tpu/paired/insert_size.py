@@ -26,6 +26,18 @@ class InsertSizeStats:
     mad: float
     mean: float
     count: int
+    # 1% / 99% quantiles (the reference's insert_size_left/right_quantile,
+    # library_data.hpp) and the full histogram (insert_size_distribution),
+    # consumed by the exSPAnder ideal-pair-info counter
+    # (modules/path_extend/ideal_pair_info.hpp:23).
+    is_min: int = 0
+    is_max: int = 0
+    histogram: dict | None = None
+
+    @property
+    def deviation(self) -> float:
+        """insert_size_deviation analogue: 1.4826 * MAD."""
+        return 1.4826 * self.mad
 
 
 def estimate_insert_size(m1: ReadMapping, m2rc: ReadMapping,
@@ -45,5 +57,10 @@ def estimate_insert_size(m1: ReadMapping, m2rc: ReadMapping,
     mad = float(np.median(np.abs(isz - med)))
     # trimmed mean within 5 MADs (insert_size_refiner.hpp behavior)
     keep = np.abs(isz - med) <= 5 * max(mad, 1.0)
+    vals, counts = np.unique(isz[keep], return_counts=True)
+    hist = {int(v): int(c) for v, c in zip(vals, counts)}
     return InsertSizeStats(med, mad, float(isz[keep].mean()),
-                           int(isz.size))
+                           int(isz.size),
+                           is_min=int(np.percentile(isz, 1)),
+                           is_max=int(np.percentile(isz, 99)),
+                           histogram=hist)

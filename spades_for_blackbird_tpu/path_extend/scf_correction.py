@@ -63,9 +63,16 @@ def correct_scaffold(g: Graph, scaffold: str, max_gap_slack: int = 500
     from ..ops import dna
     from ..mapping import long_read
 
-    pieces = [p for p in re.split("[Nn]+", scaffold) if len(p) > g.k + 2]
+    # piece offsets come from the split spans themselves — substring
+    # search would anchor a repeated piece at its first occurrence and
+    # mis-size the N-gap bound
+    spans = [mt.span() for mt in re.finditer("[^Nn]+", scaffold)
+             if mt.end() - mt.start() > g.k + 2]
+    pieces = [scaffold[a:b] for a, b in spans]
     if len(pieces) == 0:
         return scaffold, False
+    gaps = [0] + [spans[i][0] - spans[i - 1][1]
+                  for i in range(1, len(spans))]
     codes, lengths = dna.encode_reads(pieces)
     als = long_read.align_long_reads(g, codes, lengths)
     chains = []
@@ -82,8 +89,7 @@ def correct_scaffold(g: Graph, scaffold: str, max_gap_slack: int = 500
         if full and chain[0] != full[-1]:
             gap_fill = _find_path(full[-1], chain[0], start_v, end_v,
                                   out_of, seq_len, k,
-                                  max_len=max_gap_slack +
-                                  _gap_len(scaffold, pieces, ci))
+                                  max_len=max_gap_slack + gaps[ci])
             if gap_fill is None:
                 return scaffold, False
             full.extend(gap_fill)
@@ -105,17 +111,6 @@ def correct_scaffold(g: Graph, scaffold: str, max_gap_slack: int = 500
             flat[starts[e]:starts[e] + int(seq_len[e])])
         out.append(s if i == 0 else s[k:])
     return "".join(out), True
-
-
-def _gap_len(scaffold: str, pieces: list[str], idx: int) -> int:
-    """Length of the N-run before piece ``idx`` (>=1)."""
-    pos = 0
-    for i, p in enumerate(pieces):
-        at = scaffold.find(p, pos)
-        if i == idx:
-            return max(at - pos, 0)
-        pos = at + len(p)
-    return 0
 
 
 def correct_scaffolds(g: Graph, scaffolds: list[tuple[str, str]]

@@ -135,13 +135,15 @@ def repeat_resolution(g, codes1, lengths1, codes2, lengths2,
     from ..path_extend import resolver
 
     k = g.k
-    idx = eidx.build_edge_index(g, k)
+    idx = eidx.build_edge_index(g, k + 1)
     c2rc = dna.revcomp_reads(codes2, lengths2)
     # chain mappings: junction-spanning reads place on EVERY traversed
     # edge (the MappingPath equivalent) — pair filling uses all edge
     # combinations + split-read adjacency pairs
-    ch1 = mapper.map_reads_multi(idx, g.seq_len, codes1, lengths1, k)
-    ch2 = mapper.map_reads_multi(idx, g.seq_len, c2rc, lengths2, k)
+    ch1 = mapper.map_reads_multi(idx, g.seq_len, codes1, lengths1, k + 1,
+                                 min_votes=1)
+    ch2 = mapper.map_reads_multi(idx, g.seq_len, c2rc, lengths2, k + 1,
+                                 min_votes=1)
     ch1 = mapper.normalize_chain(ch1, g.conj)
     ch2 = mapper.normalize_chain(ch2, g.conj)
 
@@ -168,7 +170,10 @@ def repeat_resolution(g, codes1, lengths1, codes2, lengths2,
             pi, jnp.int32(max(spread, 20)), jnp.float32(2.0))
     else:
         clustered = pair_info.cluster_distances(pi, jnp.int32(spread))
-    ps = resolver.resolve_paths(g, clustered)
+    read_length = int(max(np.asarray(lengths1).max(initial=0),
+                          np.asarray(lengths2).max(initial=0)))
+    ps = resolver.resolve_paths(g, clustered, is_stats=stats,
+                                read_length=read_length)
     contigs = resolver.paths_to_contigs(g, ps)
     if not with_scaffolds:
         return contigs

@@ -47,11 +47,18 @@ class AssemblyConfig:
 
 def _meta(cfg: AssemblyConfig) -> AssemblyConfig:
     # meta_mode.info: cycle_iter_count 3, ec "{ec_lb 30, icb 2.5}",
-    # harsher tip clipping, two-step RR
-    # meta ec condition "{ec_lb 30, icb 2.5}": max_ec_length = k + 30;
-    # rcc block enabled (coverage_gap 5, max_length_coeff 3)
+    # harsher tip clipping, two-step RR; rcc block (meta_mode.info:38-47:
+    # gap 5, length_coeff 3, tips_coeff 5, vcnt 100, ec_len 300, no max
+    # cov); red disconnector (:56-61 diff_mult 10, unconditional 50);
+    # meta hidden-EC remover (simplification.cpp:319, relative 3)
     simp = replace(cfg.simplify, rounds=3, ec_icb=2.5, ec_lb_additive=30,
-                   rcc_enabled=True)
+                   rcc_enabled=True, rcc_coverage_gap=5.0,
+                   rcc_length_coeff=3.0, rcc_tip_allowing_coeff=5.0,
+                   rcc_vertex_limit=100, rcc_max_ec_len_additive=300,
+                   rcc_max_coverage_coeff=-1.0,
+                   red_enabled=True, red_diff_mult=10.0,
+                   red_unconditional_diff_mult=50.0,
+                   her_meta=True, her_relative_threshold=3.0)
     return replace(cfg, mode="meta", two_step_rr=True,
                    use_intermediate_contigs=True, simplify=simp)
 
@@ -76,8 +83,17 @@ def _rna(cfg: AssemblyConfig) -> AssemblyConfig:
 
 
 def _sc(cfg: AssemblyConfig) -> AssemblyConfig:
-    # careful single-cell: uneven coverage -> gentler EC thresholds
-    simp = replace(cfg.simplify, ec_icb=1.2)
+    # careful single-cell (mda_mode.info): uneven coverage -> gentler EC
+    # thresholds; rcc (mda_mode.info:39-48: gap 10, lengths 2/3, vcnt 30,
+    # max_cov_coeff 5); hidden-EC remover (:57-63: unreliability 0.2,
+    # relative 5)
+    simp = replace(cfg.simplify, ec_icb=1.2,
+                   rcc_enabled=True, rcc_coverage_gap=10.0,
+                   rcc_length_coeff=2.0, rcc_tip_allowing_coeff=3.0,
+                   rcc_vertex_limit=30, rcc_max_ec_len_additive=30,
+                   rcc_max_coverage_coeff=5.0,
+                   her_enabled=True, her_unreliability_coeff=0.2,
+                   her_relative_threshold=5.0)
     return replace(cfg, mode="sc", simplify=simp)
 
 

@@ -50,11 +50,11 @@ def close_gaps(g: Graph, codes1, lengths1, codes2, lengths2,
     if not dead_end or not dead_start:
         return g, 0
 
-    idx = eidx.build_edge_index(g, k)
+    idx = eidx.build_edge_index(g, k + 1)
     c2rc = dna.revcomp_reads(jnp.asarray(codes2), jnp.asarray(lengths2))
     m1 = mapper.map_reads(idx, g.seq_len, jnp.asarray(codes1),
-                          jnp.asarray(lengths1), k)
-    m2 = mapper.map_reads(idx, g.seq_len, c2rc, jnp.asarray(lengths2), k)
+                          jnp.asarray(lengths1), k + 1)
+    m2 = mapper.map_reads(idx, g.seq_len, c2rc, jnp.asarray(lengths2), k + 1)
     m1 = mapper.normalize_mapping(m1, g.conj)
     m2 = mapper.normalize_mapping(m2, g.conj)
 

@@ -72,9 +72,9 @@ def _vote_and_fix(g: Graph, oe, start, mapped, codes, lengths):
 def correct_mismatches(g: Graph, codes, lengths) -> tuple[Graph, int]:
     """One round of read-consensus polishing. Returns (graph, n_fixed)."""
     k = g.k
-    idx = eidx.build_edge_index(g, k)
+    idx = eidx.build_edge_index(g, k + 1)
     m = mapper.map_reads(idx, g.seq_len, jnp.asarray(codes),
-                         jnp.asarray(lengths), k)
+                         jnp.asarray(lengths), k + 1)
     m = mapper.normalize_mapping(m, g.conj)
     new_flat, n_fixed = _vote_and_fix(
         g, m.oriented_edge, m.start, m.mapped,

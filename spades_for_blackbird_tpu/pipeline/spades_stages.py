@@ -34,11 +34,20 @@ def make_read_conversion(pe_pairs, interlaced, singles, log, mp_pairs=()):
         for p1, p2 in mp_pairs:
             # mate pairs are RF ("outie", library_fwd.hpp MatePairs):
             # reverse-complement both mates to convert to FR geometry
-            b1, b2 = fastq.load_paired_reads(p1, p2)
-            b1.codes = np.asarray(dna.revcomp_reads(
-                jnp.asarray(b1.codes), jnp.asarray(b1.lengths)))
-            b2.codes = np.asarray(dna.revcomp_reads(
-                jnp.asarray(b2.codes), jnp.asarray(b2.lengths)))
+            b1, b2 = fastq.load_paired_reads(p1, p2, with_quals=True)
+            for b in (b1, b2):
+                b.codes = np.asarray(dna.revcomp_reads(
+                    jnp.asarray(b.codes), jnp.asarray(b.lengths)))
+                if b.quals is not None:
+                    # mirror each row's quality prefix alongside the RC
+                    L = b.quals.shape[1]
+                    idx = (b.lengths.astype(np.int64)[:, None] - 1
+                           - np.arange(L)[None, :])
+                    b.quals = np.where(
+                        idx >= 0,
+                        np.take_along_axis(b.quals, np.maximum(idx, 0),
+                                           axis=1),
+                        0).astype(b.quals.dtype)
             batches += [b1, b2]
             paired_ranges.append((row, b1.num_reads,
                                   row + b1.num_reads, b2.num_reads))

@@ -57,6 +57,8 @@ class PipelineContext:
                          "start_v", "end_v", "conj", "alive", "num_edges"):
                 arrays[f"graph_{name}"] = np.asarray(getattr(g, name))
             arrays["graph_k"] = np.asarray(g.k)
+            if g.flank is not None:
+                arrays["graph_flank"] = np.asarray(g.flank)
         np.savez_compressed(os.path.join(directory, "pack.npz"), **arrays)
         meta = {
             "paired_ranges": self.paired_ranges,
@@ -95,6 +97,8 @@ class PipelineContext:
                 alive=jnp.asarray(data["graph_alive"]),
                 num_edges=jnp.asarray(data["graph_num_edges"]),
                 k=int(data["graph_k"]),
+                flank=(jnp.asarray(data["graph_flank"])
+                       if "graph_flank" in data else None),
             )
         with open(os.path.join(directory, "pack.json")) as f:
             meta = json.load(f)

@@ -48,33 +48,62 @@ def _vertex_tables(g: Graph, v_space: int):
     return m, out_deg, in_deg, out_maxcov, in_maxcov
 
 
+def _seg_max_excl_self(cov: jax.Array, seg: jax.Array,
+                       contributing: jax.Array, v_space: int
+                       ) -> jax.Array:
+    """Per-edge max of ``cov`` over its segment EXCLUDING the edge itself.
+
+    ``seg[e]`` is the segment (vertex) the edge belongs to; only
+    ``contributing`` edges count as competitors.  Implements the
+    reference's MaxCompetitorCoverage exclusion (tip_clipper.hpp:29-40)
+    without a per-edge loop: segment max + segment runner-up + a count of
+    max-attaining edges decide each edge's exclusive max.
+    """
+    segs = jnp.where(contributing, seg, v_space)
+    vmax = jnp.full((v_space,), -1.0, jnp.float32).at[segs].max(
+        cov, mode="drop")
+    seg_c = jnp.minimum(seg, v_space - 1)
+    at_max = contributing & (cov >= vmax[seg_c])
+    cnt = jnp.zeros((v_space,), jnp.int32).at[
+        jnp.where(at_max, seg, v_space)].add(1, mode="drop")
+    vmax2 = jnp.zeros((v_space,), jnp.float32).at[
+        jnp.where(contributing & ~at_max, seg, v_space)].max(
+        cov, mode="drop")
+    alone_at_max = at_max & (cnt[seg_c] == 1)
+    return jnp.where(alone_at_max, vmax2[seg_c],
+                     jnp.maximum(vmax[seg_c], 0.0))
+
+
 @functools.partial(jax.jit, static_argnames=("v_space",))
 def clip_tips(g: Graph, v_space: int, length_bound: jax.Array,
               coverage_bound: jax.Array,
               relative_coverage: jax.Array) -> Graph:
     """Remove short dead-end edges (tip_clipper.hpp:71 TipCondition +
-    RelativeCoverageTipCondition:21).
+    RelativeCoverageTipCondition:21), reference-exact:
 
-    A forward tip is an alive edge whose end vertex has no outgoing edges
-    and whose start vertex sees alternatives (out_deg(start) > 1 or
-    in_deg(start) > 0 via other edges). Conditions: length <= length_bound,
-    cov <= coverage_bound, and cov <= relative_coverage * max coverage of
-    competing edges at the junction.
+    - forward tip: end vertex has in+out degree == 1 (IsTip), and
+      out_deg(start) + in_deg(end) > 2 (an alternative exists);
+      backward tips are handled by the conjugate edge;
+    - length (in k-mers, the reference's g.length()) <= length_bound;
+    - cov <= coverage_bound;
+    - cov <= relative_coverage * (max competitor coverage + 1), where
+      competitors are the OTHER out-edges of start and in-edges of end,
+      loops excluded (MaxCompetitorCoverage, tip_clipper.hpp:29-55).
     """
-    m, out_deg, in_deg, out_maxcov, in_maxcov = _vertex_tables(g, v_space)
+    m, out_deg, in_deg, _, _ = _vertex_tables(g, v_space)
     vss = jnp.minimum(g.start_v, v_space - 1)
     ves = jnp.minimum(g.end_v, v_space - 1)
 
-    dead_end = out_deg[ves] == 0
-    # competition at the start junction: other out-edges of start_v, or
-    # in-edges of start_v (the through path)
-    competitors = jnp.maximum(
-        jnp.where(out_deg[vss] > 1, out_maxcov[vss], 0.0),
-        in_maxcov[vss])
-    not_sole = (out_deg[vss] > 1) | (in_deg[vss] > 0)
-    kill = m & dead_end & not_sole & \
-        (g.seq_len <= length_bound) & (g.cov <= coverage_bound) & \
-        (g.cov <= relative_coverage * competitors)
+    dead_end = (out_deg[ves] == 0) & (in_deg[ves] == 1)
+    has_alt = (out_deg[vss] + in_deg[ves]) > 2
+    contributing = m & (g.start_v != g.end_v)
+    comp_out = _seg_max_excl_self(g.cov, g.start_v, contributing, v_space)
+    comp_in = _seg_max_excl_self(g.cov, g.end_v, contributing, v_space)
+    competitor = jnp.maximum(comp_out, comp_in)
+    len_kmers = g.seq_len - g.k
+    kill = m & dead_end & has_alt & \
+        (len_kmers <= length_bound) & (g.cov <= coverage_bound) & \
+        (g.cov <= relative_coverage * (competitor + 1.0))
     return _delete(g, kill)
 
 
@@ -88,7 +117,8 @@ def remove_isolated(g: Graph, v_space: int, max_length: jax.Array,
     ves = jnp.minimum(g.end_v, v_space - 1)
     isolated = (in_deg[vss] == 0) & (out_deg[vss] == 1) & \
         (out_deg[ves] == 0) & (in_deg[ves] == 1)
-    kill = m & isolated & (g.seq_len <= max_length) & (g.cov <= max_coverage)
+    kill = m & isolated & (g.seq_len - g.k <= max_length) & \
+        (g.cov <= max_coverage)
     return _delete(g, kill)
 
 
@@ -151,9 +181,12 @@ def _remove_bulges(g: Graph, v_space: int, max_length: jax.Array,
         jnp.where(is_best, gid, E)].max(perm, mode="drop")
 
     blen = best_len[jnp.minimum(gid, E - 1)]
-    delta = jnp.maximum(max_relative_delta * blen.astype(jnp.float32), 3.0)
+    # delta = max(max_delta=3, rel_delta * len) (CountMaxDifference,
+    # bulge_remover.hpp:103); lengths in k-mers like the reference
+    delta = jnp.maximum(
+        max_relative_delta * (len_p - g.k).astype(jnp.float32), 3.0)
     kill_p = svalid & ~is_best & ~protected[perm] & \
-        (len_p <= max_length) & (cov_p <= max_coverage) & \
+        (len_p - g.k <= max_length) & (cov_p <= max_coverage) & \
         (jnp.abs(len_p - blen).astype(jnp.float32) <= delta)
 
     # scatter kill + coverage projection back to edge order
@@ -180,9 +213,13 @@ def remove_relative_low_coverage(g: Graph, v_space: int,
     vss = jnp.minimum(g.start_v, v_space - 1)
     ves = jnp.minimum(g.end_v, v_space - 1)
     # strongest alternative at the start junction (edges INTO start_v or
-    # other edges OUT of it) and symmetric at the end junction
-    start_flank = jnp.maximum(in_maxcov[vss], out_maxcov[vss])
-    end_flank = jnp.maximum(out_maxcov[ves], in_maxcov[ves])
+    # OTHER edges out of it — the candidate itself must not compete,
+    # relative_coverage_remover.hpp:220 RelativeCoverageHelper) and
+    # symmetric at the end junction
+    out_excl = _seg_max_excl_self(g.cov, g.start_v, m, v_space)
+    in_excl = _seg_max_excl_self(g.cov, g.end_v, m, v_space)
+    start_flank = jnp.maximum(in_maxcov[vss], out_excl)
+    end_flank = jnp.maximum(out_maxcov[ves], in_excl)
     kill = m & (g.seq_len <= max_length) & \
         (g.cov * coverage_gap < start_flank) & \
         (g.cov * coverage_gap < end_flank)
@@ -200,6 +237,6 @@ def remove_erroneous_connections(g: Graph, v_space: int,
     vss = jnp.minimum(g.start_v, v_space - 1)
     ves = jnp.minimum(g.end_v, v_space - 1)
     keeps_flow = (out_deg[vss] > 1) & (in_deg[ves] > 1)
-    kill = m & keeps_flow & (g.seq_len <= max_length) & \
+    kill = m & keeps_flow & (g.seq_len - g.k <= max_length) & \
         (g.cov < coverage_threshold)
     return _delete(g, kill)

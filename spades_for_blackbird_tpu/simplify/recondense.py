@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..graph import pointer_jump
-from ..graph.graph import Graph, edge_mask
+from ..graph.graph import FLANKING_RANGE, Graph, edge_mask
 
 
 @functools.partial(jax.jit, static_argnames=("v_space",))
@@ -83,6 +83,20 @@ def recondense(g: Graph, v_space: int) -> Graph:
     bases_before = pointer_jump.chain_exclusive_sum(
         succ_broken, is_start, m, contrib)
 
+    # flanking coverage merge (detail_coverage.hpp HandleMerge): each
+    # source edge contributes its flank average over the slice of the
+    # FLANKING_RANGE window it occupies (bases_before = its k-mer offset
+    # within the merged chain)
+    if g.flank is not None:
+        window = jnp.clip(FLANKING_RANGE - bases_before, 0, contrib)
+        flank_raw = jnp.zeros((E,), jnp.float32).at[rep_safe].add(
+            g.flank * window.astype(jnp.float32), mode="drop")
+        new_flank = flank_raw / jnp.maximum(
+            jnp.minimum(merged_len - g.k, FLANKING_RANGE), 1
+        ).astype(jnp.float32)
+    else:
+        new_flank = None
+
     # new tightly-packed flat layout (id order == position order invariant)
     survives = is_start
     new_len_if = jnp.where(survives, merged_len, 0)
@@ -114,4 +128,6 @@ def recondense(g: Graph, v_space: int) -> Graph:
         alive=survives,
         num_edges=g.num_edges,
         k=g.k,
+        flank=(None if new_flank is None
+               else jnp.where(survives, new_flank, 0.0)),
     )

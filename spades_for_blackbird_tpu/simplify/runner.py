@@ -41,6 +41,7 @@ class SimplifyConfig:
     final_tip_clauses: tuple = ((1.5, 3.0, 2.0), (4.0, None, None))
     # bulge remover (br)
     bulge_length_coeff: float = 3.0
+    bulge_len_additive: int = 100   # max_additive_length_coefficient
     bulge_max_coverage: float = 1000.0
     bulge_rel_delta: float = 0.1
     # erroneous connection remover (ec): { to_ec_lb 0.8, icb auto }
@@ -49,10 +50,37 @@ class SimplifyConfig:
     # when set, max_ec_length = k + ec_lb_additive instead of the
     # tip-originated formula (the "ec_lb N" condition form, used by meta)
     ec_lb_additive: int | None = None
-    # relative-coverage removal (rcc block; meta enables it)
+    # bulge remover extras (br block): alternative path must carry at
+    # least cov(e)/max_relative_coverage; min_identity 0 = disabled
+    bulge_max_rel_coverage: float = 1.1
+    bulge_min_identity: float = 0.0
+    path_bulge_enabled: bool = True
+    # relative-coverage component removal (rcc block; meta/sc enable it;
+    # lengths are read_length multiples, relative_coverage_remover.hpp
+    # via graph_simplification.hpp:409-440)
     rcc_enabled: bool = False
     rcc_coverage_gap: float = 5.0
-    rcc_max_length_coeff: float = 3.0
+    rcc_length_coeff: float = 2.0
+    rcc_tip_allowing_coeff: float = 3.0
+    rcc_vertex_limit: int = 30
+    rcc_max_ec_len_additive: int = 30     # max_ec_length_coefficient
+    rcc_max_coverage_coeff: float = 2.0   # <0 = unlimited
+    # relative-coverage edge disconnector (red block; meta)
+    red_enabled: bool = False
+    red_diff_mult: float = 20.0
+    red_edge_sum: int = 10000
+    red_unconditional_diff_mult: float = 0.0
+    # complex tip clipper (complex_tc block; enabled by default upstream)
+    complex_tc_enabled: bool = True
+    complex_tc_max_edge_len: int = 100
+    complex_tc_lb: float = 3.5
+    complex_tc_rel_coverage: float = -1.0
+    # hidden-EC removers (her block; sc enables plain, meta the meta kind)
+    her_enabled: bool = False
+    her_meta: bool = False
+    her_uniqueness_length: int = 1500
+    her_unreliability_coeff: float = 4.0  # x detected ec bound
+    her_relative_threshold: float = 5.0
     # superbubble collapse (rna; superbubble_finder.hpp:21)
     superbubble_enabled: bool = False
     superbubble_max_length: int = 1000
@@ -65,7 +93,10 @@ class SimplifyConfig:
 
 
 def _tip_length(k: int, read_length: int, lb: float) -> int:
-    return int(max(min(k, read_length / 2) * lb, read_length))
+    # LengthThresholdFinder::MaxTipLength (simplification_settings.hpp:16):
+    # round(min(k, read_length/2) * coeff); compared against edge length
+    # in k-mers (g.length()), like every reference length bound.
+    return int(round(min(k, read_length / 2) * lb))
 
 
 def _clip_tips_clauses(g: Graph, v_space: int, clauses, k: int,
@@ -91,7 +122,10 @@ def simplify_graph(g: Graph, v_space: int, ec_bound: float,
     k = g.k
     rl = cfg.read_length
     auto_cb = max(ec_bound, 1.0)
-    bulge_len = int(cfg.bulge_length_coeff * k)
+    # MaxBulgeLength = max(k*coeff, k + additive) (simplification_settings
+    # .hpp:21); compared against edge length in k-mers
+    bulge_len = max(int(round(cfg.bulge_length_coeff * k)),
+                    k + cfg.bulge_len_additive)
     if cfg.ec_lb_additive is not None:
         ec_len = k + cfg.ec_lb_additive
     else:
@@ -114,11 +148,59 @@ def simplify_graph(g: Graph, v_space: int, ec_bound: float,
             g, v_space, jnp.int32(ec_len), jnp.float32(ec_thr))
         g = recondense(g, v_space)
 
+    # --- post-simplification (PostSimplification order,
+    # stages/simplification.cpp:230-330) ---
+    from . import advanced
+
     if cfg.rcc_enabled:
+        # edge-level relative EC pre-pass (rcec-like), then the faithful
+        # component remover (relative_coverage_remover.hpp:692)
         g = passes.remove_relative_low_coverage(
             g, v_space, jnp.float32(cfg.rcc_coverage_gap),
-            jnp.int32(int(cfg.rcc_max_length_coeff * k)))
+            jnp.int32(int(cfg.rcc_length_coeff * rl)))
         g = recondense(g, v_space)
+        max_cov = (cfg.rcc_max_coverage_coeff * auto_cb
+                   if cfg.rcc_max_coverage_coeff >= 0 else float("inf"))
+        g, v_space, n = advanced.remove_rcc_components(
+            g, v_space,
+            coverage_gap=cfg.rcc_coverage_gap,
+            length_bound=int(cfg.rcc_length_coeff * rl),
+            tip_allowing_length_bound=int(cfg.rcc_tip_allowing_coeff * rl),
+            longest_connecting_path_bound=k + cfg.rcc_max_ec_len_additive,
+            max_coverage=max_cov,
+            vertex_count_limit=cfg.rcc_vertex_limit)
+        if n:
+            g = recondense(g, v_space)
+
+    if cfg.red_enabled:
+        g, v_space, n = advanced.disconnect_relative_low(
+            g, v_space, diff_mult=cfg.red_diff_mult,
+            edge_sum=cfg.red_edge_sum,
+            unconditional_diff_mult=cfg.red_unconditional_diff_mult)
+        if n:
+            g = recondense(g, v_space)
+
+    if cfg.complex_tc_enabled:
+        g, v_space, n = advanced.clip_complex_tips(
+            g, v_space, max_edge_len=cfg.complex_tc_max_edge_len,
+            max_path_len=_tip_length(k, rl, cfg.complex_tc_lb),
+            relative_coverage=cfg.complex_tc_rel_coverage)
+        if n:
+            g = recondense(g, v_space)
+
+    if cfg.path_bulge_enabled:
+        prot = None
+        if protected_fn is not None:
+            prot = np.asarray(protected_fn(g))
+        g, v_space, n = advanced.remove_path_bulges(
+            g, v_space, max_length=bulge_len,
+            max_coverage=cfg.bulge_max_coverage,
+            max_relative_coverage=cfg.bulge_max_rel_coverage,
+            max_relative_delta=cfg.bulge_rel_delta,
+            min_identity=cfg.bulge_min_identity,
+            protected=prot)
+        if n:
+            g = recondense(g, v_space)
 
     if cfg.superbubble_enabled:
         from .superbubble import collapse_superbubbles
@@ -127,7 +209,7 @@ def simplify_graph(g: Graph, v_space: int, ec_bound: float,
         if nb:
             g = recondense(g, v_space)
 
-    # post-simplification: final tip clipper + isolated cleanup
+    # final tip clipper + bulge pass
     g = _clip_tips_clauses(g, v_space, cfg.final_tip_clauses, k, rl, auto_cb)
     g = recondense(g, v_space)
     g = passes.remove_bulges(g, v_space, jnp.int32(bulge_len),
@@ -136,6 +218,17 @@ def simplify_graph(g: Graph, v_space: int, ec_bound: float,
                              protected=(protected_fn(g)
                                         if protected_fn else None))
     g = recondense(g, v_space)
+
+    if cfg.her_enabled or cfg.her_meta:
+        g, v_space, n = advanced.remove_hidden_ec(
+            g, v_space,
+            uniqueness_length=cfg.her_uniqueness_length,
+            unreliability_threshold=cfg.her_unreliability_coeff * auto_cb,
+            ec_threshold=auto_cb,
+            relative_threshold=cfg.her_relative_threshold,
+            meta=cfg.her_meta)
+        if n:
+            g = recondense(g, v_space)
 
     iso_len = cfg.isolated_max_length
     if iso_len is None:

@@ -128,6 +128,7 @@ def collapse_superbubbles(g: Graph, max_length: int = 1000,
     elen = np.maximum(lens - k, 1)
 
     kill = np.zeros(g.capacity, bool)
+    kept_global: set[int] = set()
     n_bubbles = 0
     for s, outs in sorted(out_edges.items()):
         if len(outs) < 2:
@@ -160,9 +161,16 @@ def collapse_superbubbles(g: Graph, max_length: int = 1000,
             continue
         if any(kill[e] for e in bubble_edges):
             continue
+        # palindromic/self-overlapping regions: the conjugate of a doomed
+        # edge may lie on this bubble's (or a committed) heaviest path —
+        # deleting it would take the kept path down with it.  Skip.
+        conj_doomed = {int(conj[e]) for e in doomed}
+        if conj_doomed & (keep | kept_global):
+            continue
         for e in doomed:
             kill[e] = True
             kill[conj[e]] = True
+        kept_global |= keep
         n_bubbles += 1
 
     if not n_bubbles:

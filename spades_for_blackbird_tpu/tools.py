@@ -329,9 +329,9 @@ def cmd_unitig_coverage(argv):
     from .mapping import mapper
     g, names = graph_from_gfa(a.graph_gfa, return_names=True)
     b = _load(a.reads)
-    idx = eidx.build_edge_index(g, g.k)
+    idx = eidx.build_edge_index(g, g.k + 1)
     m = mapper.map_reads(idx, g.seq_len, jnp.asarray(b.codes),
-                         jnp.asarray(b.lengths), g.k)
+                         jnp.asarray(b.lengths), g.k + 1)
     m = mapper.normalize_mapping(m, g.conj)
     oe = np.asarray(m.oriented_edge) // 2
     ok = np.asarray(m.mapped)

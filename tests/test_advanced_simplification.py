@@ -1,0 +1,180 @@
+"""Advanced simplification: path bulges, rcc components, disconnector,
+complex tips, hidden ECs (mirrors src/test/debruijn/simplification_test.cpp
+fixtures built in code)."""
+
+import numpy as np
+import pytest
+
+import naive_debruijn as nd
+from spades_for_blackbird_tpu.graph import condense
+from spades_for_blackbird_tpu.graph.graph import edge_mask
+from spades_for_blackbird_tpu.kmers import counter, extension
+from spades_for_blackbird_tpu.ops import dna
+from spades_for_blackbird_tpu.simplify import advanced, passes
+from spades_for_blackbird_tpu.simplify.recondense import recondense
+
+K = 15
+
+
+def build_graph(seqs, k=K):
+    codes, lengths = dna.encode_reads(seqs)
+    kp1 = counter.count_kmers(codes, lengths, k + 1)
+    vt = extension.build_vertex_table(kp1, k)
+    g = condense.build_graph(kp1, vt, k)
+    from spades_for_blackbird_tpu.graph.graph import compact_graph
+    return compact_graph(g)
+
+
+def edge_set(g):
+    alive = np.asarray(edge_mask(g))
+    out = set()
+    flat = np.asarray(g.seq_flat)
+    for e in np.nonzero(alive)[0]:
+        s, ln = int(g.seq_start[e]), int(g.seq_len[e])
+        out.add(dna.decode_codes(flat[s:s + ln]))
+    return out
+
+
+def random_dna(n, seed):
+    rng = np.random.default_rng(seed)
+    return "".join(rng.choice(list("ACGT"), size=n))
+
+
+def cover(genome, read_len=50, step=5, times=1):
+    return [genome[i:i + read_len]
+            for i in range(0, len(genome) - read_len + 1, step)] * times
+
+
+def test_path_bulge_with_interior_vertex():
+    """A bulge whose alternative is a multi-edge PATH (side branch makes
+    the interior a junction) — the device parallel-edge pass can't see
+    it; the path-alternative remover must glue it."""
+    genome = random_dna(400, 10)
+    reads = cover(genome, times=4)
+    # low-coverage mutated alternative of genome[100:200]
+    seg = genome[100:200]
+    wrong = "A" if seg[50] != "A" else "C"
+    mutated = seg[:50] + wrong + seg[51:]
+    reads += [mutated]
+    # side branch leaving from inside the MAIN path (at genome[140:]) so
+    # the main alternative is split into >1 edge
+    side = genome[120:155] + random_dna(40, 11)
+    reads += [side] * 4
+    g, v_space = build_graph(reads)
+    before = edge_set(g)
+    assert not any(wrong in ("",) for _ in before)  # sanity
+    g2, v_space, n = advanced.remove_path_bulges(
+        g, v_space, max_length=3 * K + 100, max_coverage=1000.0,
+        max_relative_coverage=1.1)
+    assert n >= 1
+    g2 = recondense(g2, v_space)
+    # the mutated branch is gone; the side branch survives
+    seqs = edge_set(g2)
+    assert not any(mutated[40:60] in s for s in seqs)
+    assert any(side[-20:] in s for s in seqs)
+
+
+def test_rcc_component_removed():
+    """Low-coverage chimeric connection between two high-coverage
+    genomes is removed by the component-based rcc (needs high flanks on
+    BOTH sides of both endpoints)."""
+    g1 = random_dna(300, 20)
+    g2 = random_dna(300, 21)
+    reads = cover(g1, times=10) + cover(g2, times=10)
+    # chimeric low-coverage join mid-g1 -> mid-g2
+    reads.append(g1[120:150] + g2[120:150])
+    g, v_space = build_graph(reads)
+    assert len(edge_set(g)) > 4
+    g3, v_space, n = advanced.remove_rcc_components(
+        g, v_space, coverage_gap=5.0, length_bound=100,
+        tip_allowing_length_bound=150,
+        longest_connecting_path_bound=K + 30,
+        vertex_count_limit=30)
+    assert n >= 1
+    g3 = recondense(g3, v_space)
+    assert edge_set(g3) == {g1, nd.rc(g1), g2, nd.rc(g2)}
+
+
+def test_disconnect_relative_low():
+    """The meta disconnector detaches (then tip-clips) a relatively
+    low-covered edge hanging between high-coverage sequence."""
+    g1 = random_dna(500, 30)
+    reads = cover(g1, times=20)
+    # low-cov chimeric edge from mid-genome to mid-genome (far apart)
+    reads.append(g1[100:130] + g1[300:330])
+    g, v_space = build_graph(reads)
+    g3, v_space, n = advanced.disconnect_relative_low(
+        g, v_space, diff_mult=10.0, edge_sum=50)
+    assert n >= 1
+    g3 = recondense(g3, v_space)
+    # after disconnection the chimera became a tip / isolated fragment
+    import jax.numpy as jnp
+    g3 = passes.clip_tips(g3, v_space, jnp.int32(100), jnp.float32(1e6),
+                          jnp.float32(1e6))
+    g3 = recondense(g3, v_space)
+    g3 = passes.remove_isolated(g3, v_space, jnp.int32(100),
+                                jnp.float32(1e18))
+    g3 = recondense(g3, v_space)
+    assert edge_set(g3) == {g1, nd.rc(g1)}
+
+
+def test_complex_tip_clipped():
+    """A dead-start trunk that forks into two branchlets, both rejoining
+    the main path (a dominated blob, complex_tip_clipper.hpp:19): no
+    single edge is a plain tip, yet the whole hanging component is junk
+    and gets wiped by the complex tip clipper."""
+    genome = random_dna(400, 40)
+    reads = cover(genome, times=6)
+    trunk = random_dna(30, 41)
+    br_a = trunk + random_dna(20, 42) + genome[200:220]
+    br_b = trunk + random_dna(20, 43) + genome[300:320]
+    reads += [br_a, br_b]
+    g, v_space = build_graph(reads)
+    assert len(edge_set(g)) > 2
+    g3, v_space, n = advanced.clip_complex_tips(
+        g, v_space, max_edge_len=100, max_path_len=120)
+    assert n >= 1
+    g3 = recondense(g3, v_space)
+    assert edge_set(g3) == {genome, nd.rc(genome)}
+
+
+def test_hidden_ec_removed():
+    """Hidden EC: a unique long in-edge forks into one strong and one
+    weak continuation whose flank coverage is far below; the weak edge
+    is disconnected at the fork."""
+    stem = random_dna(1600, 50)
+    strong = stem + random_dna(200, 51)
+    weak_branch = stem[-30:] + random_dna(60, 52)
+    reads = cover(strong, read_len=100, step=4, times=5)
+    reads += [weak_branch]
+    g, v_space = build_graph(reads)
+    g3, v_space, n = advanced.remove_hidden_ec(
+        g, v_space, uniqueness_length=100,
+        unreliability_threshold=2.0, ec_threshold=100.0,
+        relative_threshold=3.0)
+    assert n >= 1
+    g3 = recondense(g3, v_space)
+    import jax.numpy as jnp
+    g3 = passes.clip_tips(g3, v_space, jnp.int32(200), jnp.float32(1e6),
+                          jnp.float32(1e6))
+    g3 = recondense(g3, v_space)
+    g3 = passes.remove_isolated(g3, v_space, jnp.int32(200),
+                                jnp.float32(1e18))
+    g3 = recondense(g3, v_space)
+    seqs = edge_set(g3)
+    assert any(strong[-50:] in s for s in seqs)
+    assert not any(weak_branch[-20:] in s for s in seqs)
+
+
+def test_flanking_coverage_present_and_merged():
+    """Construction fills flank; recondense merges it with the
+    HandleMerge window semantics (detail_coverage.hpp:92)."""
+    genome = random_dna(300, 60)
+    g, v_space = build_graph(cover(genome, times=3))
+    assert g.flank is not None
+    alive = np.asarray(edge_mask(g))
+    fl = np.asarray(g.flank)[alive]
+    cov = np.asarray(g.cov)[alive]
+    assert np.all(fl > 0)
+    # uniform-ish coverage: flank should be within a factor of the mean
+    assert np.all(fl < cov * 5 + 10)

@@ -74,3 +74,70 @@ def test_repeat_unresolvable_without_pairs_stays_split():
     contigs = assemble.repeat_resolution(g, c1, l1, c2, l2)
     tops = [s for s, _ in contigs]
     assert genome not in tops and nd.rc(genome) not in tops
+
+
+@pytest.mark.parametrize("IS,rep_len", [(200, 80), (300, 120), (150, 60)])
+def test_two_copy_repeat_varying_is(IS, rep_len):
+    """VERDICT round-1 'done when': exact two-copy repeats resolve into
+    single correct paths across insert sizes.
+
+    Flanks must exceed the insert size: IS estimation (like the
+    reference's InsertSizeCounter) needs pairs with both mates on one
+    edge, i.e. unique edges longer than IS."""
+    flank = IS + 100
+    A = random_dna(flank, 100 + IS)
+    R = random_dna(rep_len, 101 + IS)
+    B = random_dna(flank, 102 + IS)
+    C = random_dna(flank, 103 + IS)
+    genome = A + R + B + R + C
+    r1s, r2s = make_paired(genome, L=50, IS=IS, step=3)
+    codes, lengths = dna.encode_reads(r1s + r2s)
+    g = construct.graph_from_reads(codes, lengths, K)
+    c1, l1 = dna.encode_reads(r1s)
+    c2, l2 = dna.encode_reads(r2s)
+    contigs = assemble.repeat_resolution(g, c1, l1, c2, l2)
+    top = contigs[0][0]
+    assert top in (genome, nd.rc(genome)), \
+        f"IS={IS} rep={rep_len}: top len {len(top)} vs {len(genome)}"
+
+
+def test_three_copy_repeat_resolved():
+    """Three copies of the same repeat, three distinct contexts."""
+    parts = [random_dna(320, 200 + i) for i in range(4)]
+    R = random_dna(70, 210)
+    genome = parts[0] + R + parts[1] + R + parts[2] + R + parts[3]
+    r1s, r2s = make_paired(genome, L=50, IS=220, step=3)
+    codes, lengths = dna.encode_reads(r1s + r2s)
+    g = construct.graph_from_reads(codes, lengths, K)
+    c1, l1 = dna.encode_reads(r1s)
+    c2, l2 = dna.encode_reads(r2s)
+    contigs = assemble.repeat_resolution(g, c1, l1, c2, l2)
+    top = contigs[0][0]
+    assert top in (genome, nd.rc(genome)), \
+        f"top len {len(top)} vs {len(genome)}"
+
+
+def test_diverged_repeat_copies_resolved():
+    """Two repeat copies with ~3% divergence: simplification must NOT
+    glue them into one bulge (coverage/length conditions), and if it
+    keeps them separate the graph is trivially resolvable; if it
+    collapses shared flanks the pair evidence must still recover the
+    genome."""
+    A = random_dna(160, 300)
+    R1 = list(random_dna(90, 301))
+    R2 = list(R1)
+    # 3 scattered substitutions
+    for pos in (20, 50, 75):
+        R2[pos] = "A" if R1[pos] != "A" else "G"
+    B = random_dna(160, 302)
+    C = random_dna(160, 303)
+    genome = A + "".join(R1) + B + "".join(R2) + C
+    r1s, r2s = make_paired(genome, L=50, IS=200, step=3)
+    codes, lengths = dna.encode_reads(r1s + r2s)
+    g = construct.graph_from_reads(codes, lengths, K)
+    c1, l1 = dna.encode_reads(r1s)
+    c2, l2 = dna.encode_reads(r2s)
+    contigs = assemble.repeat_resolution(g, c1, l1, c2, l2)
+    top = contigs[0][0]
+    assert top in (genome, nd.rc(genome)), \
+        f"top len {len(top)} vs {len(genome)}"
