@@ -34,8 +34,8 @@ def assemble_single_k(codes, lengths, k: int,
                       min_contig_length: int | None = None,
                       min_kmer_count: int = 1,
                       extra_sequences: list[str] | None = None,
-                      restricted_sequences: list[str] | None = None
-                      ) -> AssemblyResult:
+                      restricted_sequences: list[str] | None = None,
+                      uneven_depth: bool = False) -> AssemblyResult:
     """Assemble one read batch at a single K.
 
     Args:
@@ -77,6 +77,15 @@ def assemble_single_k(codes, lengths, k: int,
     # shapes: simplification scatters and their compiles scale with
     # edge capacity, not with the (k+1)-mer table
     g, v_space = compact_graph(g)
+
+    if uneven_depth:
+        # meta/MDA: the spectrum mixture fit is unreliable under uneven
+        # depth; use the graph-based threshold finder instead
+        # (genomic_info_filler.cpp:31-45, ec_threshold_finder.hpp:25)
+        from ..simplify import ec_threshold
+        import dataclasses
+        ginfo = dataclasses.replace(
+            ginfo, ec_bound=ec_threshold.uneven_ec_bound(g))
 
     # Simplification; restricted sequences (blackbird fork /
     # biosyntheticSPAdes, restricted_edges_filling.cpp:16-41) protect

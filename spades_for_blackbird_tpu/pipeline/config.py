@@ -43,6 +43,10 @@ class AssemblyConfig:
     strand_specific: bool = False
     # bio (bgc_mode.info): HMM domain matching + restricted-edge masking
     domain_matching: bool = False
+    # meta/MDA (config_struct uneven_depth): EC threshold from the
+    # graph-based finder instead of the spectrum mixture fit
+    # (genomic_info_filler.cpp:31-45)
+    uneven_depth: bool = False
 
 
 def _meta(cfg: AssemblyConfig) -> AssemblyConfig:
@@ -60,7 +64,8 @@ def _meta(cfg: AssemblyConfig) -> AssemblyConfig:
                    red_unconditional_diff_mult=50.0,
                    her_meta=True, her_relative_threshold=3.0)
     return replace(cfg, mode="meta", two_step_rr=True,
-                   use_intermediate_contigs=True, simplify=simp)
+                   use_intermediate_contigs=True, simplify=simp,
+                   uneven_depth=True)
 
 
 def _plasmid(cfg: AssemblyConfig) -> AssemblyConfig:
@@ -94,7 +99,7 @@ def _sc(cfg: AssemblyConfig) -> AssemblyConfig:
                    rcc_max_coverage_coeff=5.0,
                    her_enabled=True, her_unreliability_coeff=0.2,
                    her_relative_threshold=5.0)
-    return replace(cfg, mode="sc", simplify=simp)
+    return replace(cfg, mode="sc", simplify=simp, uneven_depth=True)
 
 
 def _bio(cfg: AssemblyConfig) -> AssemblyConfig:

@@ -4,9 +4,12 @@ TPU-native counterpart of the reference's GapClosing stage
 (projects/spades/gap_closer.cpp ``GapCloserPairedIndexFiller``:25 +
 ``GapCloser``:170): mate pairs whose ends map onto two different
 dead-end edges witness that the edges are adjacent; the joint is made by
-aligning the tip ends for the best overlap (>= min_overlap exact match,
-mirroring the reference's merge-by-alignment), merging the two edges and
-their conjugates.
+aligning the tip ends for the best overlap, tolerating up to
+``hamming_bound`` mismatches (gap_closer.cpp:396 LimitedHammingDistance,
+bound=2 at :472) with the reference's low-complexity overlap rejection
+(:404-414), and — on an imperfect match — correcting the
+lower-coverage tip to the higher-coverage one before merging
+(HandlePositiveHammingDistanceCase, :327-355).
 
 The paired evidence comes from the device mapping machinery; the joins
 themselves touch a handful of tips and run host-side.
@@ -22,7 +25,8 @@ from ..ops import dna
 
 def close_gaps(g: Graph, codes1, lengths1, codes2, lengths2,
                min_support: int = 3, min_overlap: int = 10,
-               max_overlap_scan: int = 150) -> tuple[Graph, int]:
+               max_overlap_scan: int = 150,
+               hamming_bound: int = 2) -> tuple[Graph, int]:
     """One gap-closing round. Returns (graph, n_joined)."""
     import jax.numpy as jnp
     from ..mapping import index as eidx
@@ -84,14 +88,26 @@ def close_gaps(g: Graph, codes1, lengths1, codes2, lengths2,
             continue  # joining an edge to its own conjugate = hairpin
         s1, s2 = seq_of(e1), seq_of(e2)
         scan = min(max_overlap_scan, len(s1), len(s2))
-        best_ov = 0
+        best_ov, best_mism = 0, None
         for ov in range(scan, min_overlap - 1, -1):
-            if (s1[-ov:] == s2[:ov]).all():
-                best_ov = ov
-                break
+            tail, head = s1[-ov:], s2[:ov]
+            mism = np.nonzero(tail != head)[0]
+            if len(mism) > hamming_bound:
+                continue
+            # low-complexity rejection (gap_closer.cpp:404-414): at the
+            # shortest overlap forbid near-homopolymer overlaps, relax
+            # linearly toward 0.8 identity at the longest
+            counts = np.bincount(tail, minlength=4)
+            gap = max(k - ov, 1)
+            denom = max(k - min_overlap - 1, 1)
+            ratio = 0.8 + 0.2 * (gap - 1) / denom
+            if counts.max() > ratio * ov:
+                break  # reference returns false for the pair
+            best_ov, best_mism = ov, mism
+            break
         if best_ov == 0:
             continue
-        joins.append((int(e1), int(e2), best_ov))
+        joins.append((int(e1), int(e2), best_ov, best_mism))
         used.update({e1, e2, int(conj[e1]), int(conj[e2])})
 
     if not joins:
@@ -104,8 +120,14 @@ def close_gaps(g: Graph, codes1, lengths1, codes2, lengths2,
     new_start_v = start_v.copy()
     new_end_v = end_v.copy()
     new_conj = conj.copy()
-    for e1, e2, ov in joins:
-        merged = np.concatenate([seq_of(e1), seq_of(e2)[ov:]])
+    for e1, e2, ov, mism in joins:
+        s1, s2 = seq_of(e1), seq_of(e2)
+        if mism is not None and len(mism) > 0 and covs[e2] > covs[e1]:
+            # correct the lower-coverage tip (first edge) to the
+            # higher-coverage one (gap_closer.cpp:332-340 CorrectLeft)
+            s1 = s1.copy()
+            s1[len(s1) - ov:] = s2[:ov]
+        merged = np.concatenate([s1, s2[ov:]])
         seqs[e1] = merged
         # conjugate join mirrors: conj(e2) + conj(e1)
         ce1, ce2 = int(conj[e1]), int(conj[e2])
@@ -127,14 +149,15 @@ def close_gaps(g: Graph, codes1, lengths1, codes2, lengths2,
     new_lens[~new_alive] = 0
     new_starts = np.zeros(E, np.int64)
     acc = 0
+    needed = int(new_lens[new_alive].sum())
     FLAT = flat.shape[0]
+    if needed > FLAT:  # grow to the next power of two; shapes stay static
+        FLAT = 1 << max(needed - 1, 1).bit_length()
     new_flat = np.zeros(FLAT, np.uint8)
     for e in range(E):
         if not new_alive[e]:
             continue
         s = seqs.get(e, flat[starts[e]:starts[e] + lens[e]])
-        if acc + len(s) > FLAT:
-            return g, 0  # no room; skip gap closing this round
         new_starts[e] = acc
         new_flat[acc:acc + len(s)] = s
         acc += len(s)

@@ -95,3 +95,35 @@ def test_mismatch_correction_noop_on_clean_graph():
     g = construct.graph_from_reads(codes, lengths, K)
     g2, n = mismatch_correction.correct_mismatches(g, codes, lengths)
     assert n == 0
+
+
+def test_gap_closer_tolerates_mismatch_in_overlap():
+    """An overlap carrying 1-2 mismatches must still close, with the
+    lower-coverage tip corrected to the higher-coverage one
+    (gap_closer.cpp:327 HandlePositiveHammingDistanceCase)."""
+    genome = random_dna(700, 7)
+    # part A tiled thin (low coverage), with its last overlap base
+    # corrupted; part B tiled dense (high coverage)
+    part_a = genome[:362]
+    bad = list(part_a)
+    bad[356] = {"A": "C", "C": "A", "G": "T", "T": "G"}[bad[356]]
+    part_a_bad = "".join(bad)
+    reads = tile(part_a_bad, step=9) + tile(genome[350:], step=2)
+    codes, lengths = dna.encode_reads(reads)
+    g = construct.graph_from_reads(codes, lengths, K)
+    pre = {s for s, _ in graph_contigs(g)}
+    assert genome not in pre and nd.rc(genome) not in pre
+
+    IS, L = 250, 50
+    r1s, r2s = [], []
+    for pos in range(200, 400, 5):
+        r1s.append(genome[pos:pos + L])
+        r2s.append(nd.rc(genome[pos + IS - L:pos + IS]))
+    c1, l1 = dna.encode_reads(r1s)
+    c2, l2 = dna.encode_reads(r2s)
+    g2, joined = gap_closer.close_gaps(g, c1, l1, c2, l2, min_overlap=10)
+    assert joined == 1
+    post = {s for s, _ in graph_contigs(g2)}
+    # the corrected join reproduces the true genome (mismatch fixed
+    # toward the dense B tiling)
+    assert genome in post or nd.rc(genome) in post
