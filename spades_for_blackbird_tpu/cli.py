@@ -35,6 +35,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="file with unpaired reads")
     p.add_argument("--12", dest="interlaced", action="append", default=[],
                    help="file with interlaced paired-end reads")
+    p.add_argument("--pe-orientation", dest="pe_orientation",
+                   choices=["fr", "rf", "ff"], default="fr",
+                   help="paired-end library orientation "
+                        "(--pe#-fr/rf/ff in the reference)")
+    p.add_argument("--mp-orientation", dest="mp_orientation",
+                   choices=["rf", "fr", "ff"], default="rf",
+                   help="mate-pair library orientation "
+                        "(--mp#-rf/fr/ff in the reference)")
     p.add_argument("--mp-1", dest="mp1", action="append", default=[],
                    help="file with forward mate-pair (RF) reads")
     p.add_argument("--mp-2", dest="mp2", action="append", default=[],

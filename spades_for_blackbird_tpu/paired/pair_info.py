@@ -282,3 +282,23 @@ def _rebuild(rows, capacity):
     return PairedIndex(e1=jnp.asarray(E1), e2=jnp.asarray(E2),
                        dist=jnp.asarray(D), weight=jnp.asarray(W),
                        num=jnp.int32(n))
+
+
+def merge_paired_indices(indices: list[PairedIndex]) -> PairedIndex:
+    """Merge clustered indices from multiple libraries into one table,
+    summing weights of identical (e1, e2, d) rows (the reference keeps
+    ``PairedIndices`` per lib, paired_info.hpp:659; scaffolding joins
+    pool evidence across libraries)."""
+    import numpy as np
+    if len(indices) == 1:
+        return indices[0]
+    acc: dict[tuple[int, int, int], float] = {}
+    for idx in indices:
+        n = int(idx.num)
+        for key, w in existing_rows(np.asarray(idx.e1)[:n],
+                                    np.asarray(idx.e2)[:n],
+                                    np.asarray(idx.dist)[:n],
+                                    np.asarray(idx.weight)[:n]):
+            acc[key] = acc.get(key, 0.0) + w
+    rows = sorted(acc.items())
+    return _rebuild(rows, max((i.capacity for i in indices), default=1))

@@ -339,6 +339,18 @@ def estimate_lib_coverage(g: Graph) -> float:
     return float((covs[sel] * lens[sel]).sum() / lens[sel].sum())
 
 
+@dataclass
+class LibSpec:
+    """One paired library's inputs to repeat resolution (the per-lib
+    model of pair_info_count.cpp:186-230 + library.hpp): a clustered
+    paired index, its own insert-size stats, read length and kind."""
+    clustered: object
+    is_stats: object = None
+    read_length: int | None = None
+    kind: str = "pe"            # "pe" | "mp"
+    coverage_share: float = 1.0  # this lib's fraction of total coverage
+
+
 def resolve_paths(g: Graph, paired, params: PEParams | None = None,
                   is_stats=None, read_length: int | None = None,
                   lib_coverage: float | None = None) -> PathSet:
@@ -349,6 +361,19 @@ def resolve_paths(g: Graph, paired, params: PEParams | None = None,
     ``is_stats``/``read_length`` feed the ideal-pair-info machinery; when
     omitted, conservative defaults are derived from the graph.
     """
+    return resolve_paths_multi(
+        g, [LibSpec(paired, is_stats, read_length)], params=params,
+        lib_coverage=lib_coverage)
+
+
+def resolve_paths_multi(g: Graph, lib_specs: list[LibSpec],
+                        params: PEParams | None = None,
+                        lib_coverage: float | None = None) -> PathSet:
+    """Multi-library exSPAnder: one extension chooser per library, tried
+    in PE-first order at every growth step (the CompositeExtender
+    round-robin, path_extender.hpp:426 + extenders_logic.cpp:462
+    MakeBasicExtenders building per-lib extenders; MP extenders come
+    after the basic ones, extenders_logic.cpp:388)."""
     if params is None:
         params = PEParams()
     alive, start_v, end_v, out_of, in_of = _adjacency(g)
@@ -357,18 +382,21 @@ def resolve_paths(g: Graph, paired, params: PEParams | None = None,
     k = g.k
     len_k = (seq_len - k).astype(np.int64)
 
-    if read_length is None:
-        read_length = max(k + 1, 100)
     if lib_coverage is None:
         lib_coverage = estimate_lib_coverage(g)
-    lib = PairedLib(paired, is_stats, read_length, k,
-                    lib_coverage=lib_coverage, conj=conj, len_k=len_k)
-    wc = PathCoverWeightCounter(lib, params.single_threshold,
-                                params.raw_weight_cutoff, len_k,
-                                lib_coverage)
-    chooser = SimpleChooser(wc, params.weight_threshold,
-                            params.priority_coeff, in_of, start_v, end_v,
-                            len_k)
+    # PE libs first, then MP (reference extender ordering)
+    specs = sorted(lib_specs, key=lambda s: 0 if s.kind == "pe" else 1)
+    choosers = []
+    for spec in specs:
+        rl = spec.read_length or max(k + 1, 100)
+        cov = lib_coverage * spec.coverage_share
+        lib = PairedLib(spec.clustered, spec.is_stats, rl, k,
+                        lib_coverage=cov, conj=conj, len_k=len_k)
+        wc = PathCoverWeightCounter(lib, params.single_threshold,
+                                    params.raw_weight_cutoff, len_k, cov)
+        choosers.append(SimpleChooser(wc, params.weight_threshold,
+                                      params.priority_coeff, in_of,
+                                      start_v, end_v, len_k))
 
     # seeds: long edges first (SortByLength, pe_resolver.cpp)
     seeds = [int(e) for e in np.nonzero(alive)[0]
@@ -392,10 +420,16 @@ def resolve_paths(g: Graph, paired, params: PEParams | None = None,
             cands = out_of.get(v, [])
             if not cands:
                 break
-            top = chooser.filter(path, cands)
-            if len(top) != 1:
+            # CompositeExtender semantics: the first library whose
+            # chooser resolves the junction unambiguously extends
+            best = None
+            for chooser in choosers:
+                top = chooser.filter(path, cands)
+                if len(top) == 1:
+                    best = top[0]
+                    break
+            if best is None:
                 break
-            best = top[0]
             # used-unique gating happens on the CHOSEN edge (TryUseEdge,
             # path_extenders.cpp:295-299): a claimed unique edge stops
             # growth rather than deflecting it to a competitor

@@ -131,11 +131,28 @@ def repeat_resolution(g, codes1, lengths1, codes2, lengths2,
                       with_scaffolds: bool = False,
                       estimator: str = "simple"):
     """exSPAnder repeat resolution over the final graph using one
-    paired-end library (the RepeatResolution stage,
-    projects/spades/repeat_resolving.cpp:62).
+    paired library (the RepeatResolution stage,
+    projects/spades/repeat_resolving.cpp:62). See
+    ``repeat_resolution_multi`` for the per-library model.
+    """
+    kind = "mp" if estimator == "smoothing" else "pe"
+    return repeat_resolution_multi(
+        g, [(codes1, lengths1, codes2, lengths2, kind)],
+        with_scaffolds=with_scaffolds)
 
-    codes2/lengths2 are the second mates as read (FR orientation); they
-    are reverse-complemented here so both mates face downstream.
+
+def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
+                            lib_data_out: list | None = None):
+    """Per-library repeat resolution (pair_info_count.cpp:186-230 +
+    extenders_logic.cpp per-lib extender construction): each library
+    gets its OWN insert-size estimate, paired-index shift and distance
+    estimator (simple for PE, multi-peak smoothing for MP,
+    distance_estimation.cpp estimator choice per library type), then all
+    feed the composite extender.
+
+    ``libs``: list of (codes1, lengths1, codes2, lengths2, kind) with
+    kind in {"pe", "mp"}; second mates as read (FR orientation after
+    read conversion) — reverse-complemented here to face downstream.
     """
     import jax.numpy as jnp
     from ..mapping import index as eidx
@@ -145,49 +162,78 @@ def repeat_resolution(g, codes1, lengths1, codes2, lengths2,
 
     k = g.k
     idx = eidx.build_edge_index(g, k + 1)
-    c2rc = dna.revcomp_reads(codes2, lengths2)
-    # chain mappings: junction-spanning reads place on EVERY traversed
-    # edge (the MappingPath equivalent) — pair filling uses all edge
-    # combinations + split-read adjacency pairs
-    ch1 = mapper.map_reads_multi(idx, g.seq_len, codes1, lengths1, k + 1,
-                                 min_votes=1)
-    ch2 = mapper.map_reads_multi(idx, g.seq_len, c2rc, lengths2, k + 1,
-                                 min_votes=1)
-    ch1 = mapper.normalize_chain(ch1, g.conj)
-    ch2 = mapper.normalize_chain(ch2, g.conj)
 
     def first_placement(ch):
         return mapper.ReadMapping(
             oriented_edge=ch.oriented_edge[:, 0], start=ch.start[:, 0],
             votes=ch.votes[:, 0], mapped=ch.mapped)
 
-    m1 = first_placement(ch1)
-    m2 = first_placement(ch2)
-    stats = insert_size.estimate_insert_size(m1, m2, np.asarray(lengths2))
-    if stats.count == 0:
+    total_bases = sum(
+        float(np.asarray(l1).sum() + np.asarray(l2).sum())
+        for _, l1, _, l2, _ in libs) or 1.0
+    specs = []
+    clustered_all = []
+    for codes1, lengths1, codes2, lengths2, kind in libs:
+        c2rc = dna.revcomp_reads(codes2, lengths2)
+        # chain mappings: junction-spanning reads place on EVERY
+        # traversed edge (the MappingPath equivalent) — pair filling
+        # uses all edge combinations + split-read adjacency pairs
+        ch1 = mapper.map_reads_multi(idx, g.seq_len, codes1, lengths1,
+                                     k + 1, min_votes=1)
+        ch2 = mapper.map_reads_multi(idx, g.seq_len, c2rc, lengths2,
+                                     k + 1, min_votes=1)
+        ch1 = mapper.normalize_chain(ch1, g.conj)
+        ch2 = mapper.normalize_chain(ch2, g.conj)
+        m1 = first_placement(ch1)
+        m2 = first_placement(ch2)
+        stats = insert_size.estimate_insert_size(
+            m1, m2, np.asarray(lengths2))
+        if lib_data_out is not None:
+            # the final.lib_data equivalent (pipeline.cpp:288
+            # write_lib_data): estimated per-lib parameters
+            lib_data_out.append({
+                "kind": kind,
+                "read_length": int(max(
+                    np.asarray(lengths1).max(initial=0),
+                    np.asarray(lengths2).max(initial=0))),
+                "insert_size_median": float(stats.median),
+                "insert_size_mad": float(stats.mad),
+                "pairs_used": int(stats.count),
+            })
+        if stats.count == 0:
+            continue
+        mean_l2 = float(np.asarray(lengths2).mean())
+        pi = pair_info.fill_paired_index_multi(
+            ch1, ch2, jnp.int32(int(round(stats.median - mean_l2))))
+        spread = max(5, int(3 * stats.mad))
+        if kind == "mp":
+            # mate pairs: broad, multi-modal histograms -> multi-peak
+            # smoothing estimator (smoothing_distance_estimation.hpp:19)
+            clustered = pair_info.cluster_distances_smoothing(
+                pi, jnp.int32(max(spread, 20)), jnp.float32(2.0))
+        else:
+            clustered = pair_info.cluster_distances(pi, jnp.int32(spread))
+        read_length = int(max(np.asarray(lengths1).max(initial=0),
+                              np.asarray(lengths2).max(initial=0)))
+        share = float(np.asarray(lengths1).sum()
+                      + np.asarray(lengths2).sum()) / total_bases
+        specs.append(resolver.LibSpec(
+            clustered, is_stats=stats, read_length=read_length,
+            kind=kind, coverage_share=share))
+        clustered_all.append(clustered)
+
+    if not specs:
         from ..io import fasta
         contigs = fasta.graph_contigs(g, min_length=2 * k)
         return (contigs, contigs) if with_scaffolds else contigs
-    mean_l2 = float(np.asarray(lengths2).mean())
-    pi = pair_info.fill_paired_index_multi(
-        ch1, ch2, jnp.int32(int(round(stats.median - mean_l2))))
-    spread = max(5, int(3 * stats.mad))
-    if estimator == "smoothing":
-        # mate pairs: broad, multi-modal histograms -> multi-peak
-        # smoothing estimator (smoothing_distance_estimation.hpp:19)
-        clustered = pair_info.cluster_distances_smoothing(
-            pi, jnp.int32(max(spread, 20)), jnp.float32(2.0))
-    else:
-        clustered = pair_info.cluster_distances(pi, jnp.int32(spread))
-    read_length = int(max(np.asarray(lengths1).max(initial=0),
-                          np.asarray(lengths2).max(initial=0)))
-    ps = resolver.resolve_paths(g, clustered, is_stats=stats,
-                                read_length=read_length)
+
+    ps = resolver.resolve_paths_multi(g, specs)
     contigs = resolver.paths_to_contigs(g, ps)
     if not with_scaffolds:
         return contigs
     from ..path_extend import scaffolder
-    chains = scaffolder.scaffold_paths(g, ps, clustered)
+    merged = pair_info.merge_paired_indices(clustered_all)
+    chains = scaffolder.scaffold_paths(g, ps, merged)
     scaffolds = scaffolder.scaffolds_to_contigs(g, chains)
     return contigs, scaffolds
 

@@ -16,44 +16,62 @@ import numpy as np
 from .stages import PipelineContext, Stage
 
 
-def make_read_conversion(pe_pairs, interlaced, singles, log, mp_pairs=()):
+def _rc_batch(b):
+    """Reverse-complement a read batch in place (mirroring qualities)."""
+    import jax.numpy as jnp
+    from ..ops import dna
+    b.codes = np.asarray(dna.revcomp_reads(
+        jnp.asarray(b.codes), jnp.asarray(b.lengths)))
+    if b.quals is not None:
+        # mirror each row's quality prefix alongside the RC
+        L = b.quals.shape[1]
+        idx = (b.lengths.astype(np.int64)[:, None] - 1
+               - np.arange(L)[None, :])
+        b.quals = np.where(
+            idx >= 0,
+            np.take_along_axis(b.quals, np.maximum(idx, 0), axis=1),
+            0).astype(b.quals.dtype)
+
+
+def _to_fr(b1, b2, orientation: str):
+    """Convert a paired library to FR geometry
+    (library.hpp orientation FR/RF/FF): RF ("outie") rc's both mates,
+    FF rc's the second mate only."""
+    if orientation == "rf":
+        _rc_batch(b1)
+        _rc_batch(b2)
+    elif orientation == "ff":
+        _rc_batch(b2)
+
+
+def make_read_conversion(pe_pairs, interlaced, singles, log, mp_pairs=(),
+                         pe_orientation: str = "fr",
+                         mp_orientation: str = "rf"):
     def run(ctx: PipelineContext):
-        import jax.numpy as jnp
         from ..io import fastq
-        from ..ops import dna
         batches = []
         paired_ranges = []
         row = 0
         for p1, p2 in pe_pairs:
             b1, b2 = fastq.load_paired_reads(p1, p2, with_quals=True)
+            _to_fr(b1, b2, pe_orientation)
             batches += [b1, b2]
             paired_ranges.append((row, b1.num_reads,
-                                  row + b1.num_reads, b2.num_reads))
+                                  row + b1.num_reads, b2.num_reads, "pe"))
             row += b1.num_reads + b2.num_reads
-            log(f"loaded paired library {p1} + {p2}: {b1.num_reads} pairs")
+            log(f"loaded paired library {p1} + {p2}: {b1.num_reads} pairs"
+                + (f" ({pe_orientation}->fr)"
+                   if pe_orientation != "fr" else ""))
         for p1, p2 in mp_pairs:
-            # mate pairs are RF ("outie", library_fwd.hpp MatePairs):
-            # reverse-complement both mates to convert to FR geometry
+            # mate pairs default RF ("outie", library_fwd.hpp MatePairs)
             b1, b2 = fastq.load_paired_reads(p1, p2, with_quals=True)
-            for b in (b1, b2):
-                b.codes = np.asarray(dna.revcomp_reads(
-                    jnp.asarray(b.codes), jnp.asarray(b.lengths)))
-                if b.quals is not None:
-                    # mirror each row's quality prefix alongside the RC
-                    L = b.quals.shape[1]
-                    idx = (b.lengths.astype(np.int64)[:, None] - 1
-                           - np.arange(L)[None, :])
-                    b.quals = np.where(
-                        idx >= 0,
-                        np.take_along_axis(b.quals, np.maximum(idx, 0),
-                                           axis=1),
-                        0).astype(b.quals.dtype)
+            _to_fr(b1, b2, mp_orientation)
             batches += [b1, b2]
             paired_ranges.append((row, b1.num_reads,
-                                  row + b1.num_reads, b2.num_reads))
+                                  row + b1.num_reads, b2.num_reads, "mp"))
             row += b1.num_reads + b2.num_reads
             log(f"loaded mate-pair library {p1} + {p2}: "
-                f"{b1.num_reads} pairs (RF->FR)")
+                f"{b1.num_reads} pairs ({mp_orientation}->fr)")
         for ip in interlaced:
             b = fastq.load_reads(ip, with_quals=True)
             # even rows = first mates, odd = second; split into halves
@@ -65,7 +83,7 @@ def make_read_conversion(pe_pairs, interlaced, singles, log, mp_pairs=()):
                                  q[1::2] if q is not None else None)
             batches += [ev, od]
             paired_ranges.append((row, ev.num_reads,
-                                  row + ev.num_reads, od.num_reads))
+                                  row + ev.num_reads, od.num_reads, "pe"))
             row += ev.num_reads + od.num_reads
             log(f"loaded interlaced library {ip}: {half} pairs")
         for sp in singles:
@@ -78,10 +96,6 @@ def make_read_conversion(pe_pairs, interlaced, singles, log, mp_pairs=()):
         ctx.lengths = batch.lengths
         ctx.quals = batch.quals  # None when any library lacks qualities
         ctx.paired_ranges = paired_ranges
-        # mate-pair-only datasets get the smoothing distance estimator
-        # (distance_estimation.cpp picks the estimator per library type)
-        ctx.params["mp_only"] = bool(mp_pairs and not pe_pairs
-                                     and not interlaced)
         ctx.read_length = int(batch.lengths.max()) if batch.num_reads else 0
         log(f"total reads: {batch.num_reads}, max length {ctx.read_length}")
     return Stage("read_conversion", run)
@@ -143,15 +157,33 @@ def make_chromosome_removal(log, cfg):
     return Stage("chromosome_removal", run)
 
 
+def _range_kind(r) -> str:
+    return r[4] if len(r) > 4 else "pe"
+
+
 def _paired_mate_arrays(ctx: PipelineContext):
     import jax.numpy as jnp
     c, l = np.asarray(ctx.codes), np.asarray(ctx.lengths)
-    idx1 = np.concatenate([np.arange(s1, s1 + n1)
-                           for s1, n1, _, _ in ctx.paired_ranges])
-    idx2 = np.concatenate([np.arange(s2, s2 + n2)
-                           for _, _, s2, n2 in ctx.paired_ranges])
+    idx1 = np.concatenate([np.arange(r[0], r[0] + r[1])
+                           for r in ctx.paired_ranges])
+    idx2 = np.concatenate([np.arange(r[2], r[2] + r[3])
+                           for r in ctx.paired_ranges])
     return (jnp.asarray(c[idx1]), jnp.asarray(l[idx1]),
             jnp.asarray(c[idx2]), jnp.asarray(l[idx2]))
+
+
+def _paired_lib_arrays(ctx: PipelineContext):
+    """Per-library mate arrays: [(c1, l1, c2, l2, kind)] — the per-lib
+    model (library.hpp SequencingLibrary) replacing pooled mates."""
+    import jax.numpy as jnp
+    c, l = np.asarray(ctx.codes), np.asarray(ctx.lengths)
+    libs = []
+    for r in ctx.paired_ranges:
+        s1, n1, s2, n2 = r[0], r[1], r[2], r[3]
+        libs.append((jnp.asarray(c[s1:s1 + n1]), jnp.asarray(l[s1:s1 + n1]),
+                     jnp.asarray(c[s2:s2 + n2]), jnp.asarray(l[s2:s2 + n2]),
+                     _range_kind(r)))
+    return libs
 
 
 def make_ss_edge_split(ss_orientation: str, log):
@@ -308,7 +340,7 @@ def make_series_analysis(yaml_path: str, log):
     return Stage("series_analysis", run)
 
 
-def make_repeat_resolution(log):
+def make_repeat_resolution(log, output_dir=None):
     def run(ctx: PipelineContext):
         from . import assemble
         if not ctx.paired_ranges or ctx.graph is None:
@@ -316,14 +348,28 @@ def make_repeat_resolution(log):
             log("no paired libraries: RR skipped (contig paths only, "
                 "repeat_resolving.cpp:62 'rr disabled' branch)")
             return
-        c1, l1, c2, l2 = _paired_mate_arrays(ctx)
-        final, scaffolds = assemble.repeat_resolution(
-            ctx.graph, c1, l1, c2, l2, with_scaffolds=True,
-            estimator=("smoothing" if ctx.params.get("mp_only")
-                       else "simple"))
+        libs = _paired_lib_arrays(ctx)
+        lib_data: list = []
+        final, scaffolds = assemble.repeat_resolution_multi(
+            ctx.graph, libs, with_scaffolds=True, lib_data_out=lib_data)
         ctx.final_contigs = final
         ctx.scaffolds = scaffolds
-        log(f"resolved {len(final)} paths, {len(scaffolds)} scaffolds")
+        ctx.params["lib_data"] = lib_data
+        for i, ld in enumerate(lib_data):
+            log(f"  lib {i} ({ld['kind']}): IS median "
+                f"{ld['insert_size_median']:.0f} mad "
+                f"{ld['insert_size_mad']:.0f} from {ld['pairs_used']} "
+                f"pairs")
+        if output_dir is not None:
+            # final.lib_data equivalent (pipeline.cpp:288 write_lib_data)
+            with open(os.path.join(output_dir, "final.lib_data"),
+                      "w") as f:
+                for i, ld in enumerate(lib_data):
+                    f.write(f"- lib: {i}\n")
+                    for key, val in ld.items():
+                        f.write(f"  {key}: {val}\n")
+        log(f"resolved {len(final)} paths, {len(scaffolds)} scaffolds "
+            f"({len(libs)} libs)")
     return Stage("repeat_resolution", run)
 
 
@@ -362,8 +408,10 @@ def build_stage_list(args, ks, log, cfg=None):
         cfg = AssemblyConfig()
     pe_pairs = list(zip(args.pe1, args.pe2))
     mp_pairs = list(zip(getattr(args, "mp1", []), getattr(args, "mp2", [])))
-    stages = [make_read_conversion(pe_pairs, args.interlaced, args.single,
-                                   log, mp_pairs=mp_pairs)]
+    stages = [make_read_conversion(
+        pe_pairs, args.interlaced, args.single, log, mp_pairs=mp_pairs,
+        pe_orientation=getattr(args, "pe_orientation", "fr"),
+        mp_orientation=getattr(args, "mp_orientation", "rf"))]
     if not args.only_assembler and cfg.correction_enabled:
         stages.append(make_error_correction(
             log, output_dir=args.output_dir))
@@ -408,7 +456,7 @@ def build_stage_list(args, ks, log, cfg=None):
     if getattr(args, "series_analysis", None):
         # before RR (pipeline.cpp:205-206)
         stages.append(make_series_analysis(args.series_analysis, log))
-    stages.append(make_repeat_resolution(log))
+    stages.append(make_repeat_resolution(log, args.output_dir))
     hmm_set = getattr(args, "custom_hmms", None)
     if cfg.two_step_rr:
         if hmm_set:
@@ -433,7 +481,7 @@ def build_stage_list(args, ks, log, cfg=None):
             ctx.contigs = res.contigs
             log(f"second phase: {res.stats}")
         stages.append(Stage("second_phase_setup", second_phase))
-        stages.append(make_repeat_resolution(log))
+        stages.append(make_repeat_resolution(log, args.output_dir))
         stages[-1] = Stage("repeat_resolution_2", stages[-1].fn)
     stages.append(make_contig_output(args.output_dir, log, cfg))
     if hmm_set:

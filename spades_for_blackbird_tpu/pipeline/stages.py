@@ -31,8 +31,9 @@ class PipelineContext:
         self.codes: np.ndarray | None = None      # (R, L) uint8
         self.lengths: np.ndarray | None = None    # (R,) int32
         self.quals: np.ndarray | None = None      # (R, L) uint8 phred+33
-        self.paired_ranges: list[tuple[int, int, int, int]] = []
-        # each: (start1, count1, start2, count2) row ranges into codes
+        self.paired_ranges: list[tuple] = []
+        # each: (start1, count1, start2, count2, kind) row ranges into
+        # codes; kind is "pe" or "mp" (library.hpp LibraryType)
         self.read_length: int = 0
         self.graph = None                          # graph.graph.Graph
         self.genomic_info = None                   # coverage_model.GenomicInfo
