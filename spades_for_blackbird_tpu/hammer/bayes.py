@@ -1,0 +1,300 @@
+"""BayesHammer's statistical core: quality statistics, Bayesian
+subclustering and the solid-set expander.
+
+TPU-native redesign of projects/hammer's center-finding machinery:
+
+- per-k-mer quality statistics (kmer_stat.hpp KMerStat: ``total_qual``
+  = product over instances of the per-instance error probability,
+  per-position summed phred capped at 63 like the 6-bit QualBitSet) —
+  aggregated here with segmented scatter-adds instead of the
+  lock-per-entry Merge (kmer_data.cpp:119-123);
+- Bayesian l-means subclustering of each Hamming cluster
+  (kmer_cluster.cpp lMeansClustering:125 + SubClusterSingle:261): for
+  l = 1..Lmax, centers seeded from the top-count members, EM with a
+  per-position quality log-likelihood (ExpandedKMer::logL,
+  kmer_stat.hpp:218) and weighted-consensus M step
+  (ConsensusWithMask:49), model selection by BIC (ClusterBIC:97,
+  nparams = (l-1) + 3lK).  The reference runs this serially per
+  cluster under OpenMP; here every cluster's EM runs simultaneously as
+  one (N, Lmax, k) masked tensor program;
+- good/bad marking per subcluster center (ProcessCluster:455):
+  center_quality = 1 - total_qual against bayes_singleton_threshold /
+  correct_threshold, cluster quality against
+  bayes_nonsingleton_threshold; synthesized consensus centers (no
+  member at Hamming distance 0) stay bad, exactly as the reference's
+  re-marking does;
+- iterative solid-set expansion over reads (expander.cpp:17): a read
+  whose every position is covered by some solid k-mer promotes ALL its
+  k-mers to solid; batched as a windowed-OR over the (R, P) solidity
+  matrix instead of the per-read OpenMP loop, iterated to fixed point.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..kmers import counter
+from ..ops import dna, kmer, segments
+
+# reference defaults (configs/hammer/config.info:29-56)
+SINGLETON_THRESHOLD = 0.995     # bayes_singleton_threshold
+NONSINGLETON_THRESHOLD = 0.9    # bayes_nonsingleton_threshold
+CORRECT_THRESHOLD = 0.98        # correct_threshold (correct_use_threshold=1)
+QUAL_CAP = 63                   # QualBitSet 6-bit nibble saturation
+
+
+class KmerQualStats(NamedTuple):
+    total_lq: jax.Array    # (N,) float32: sum of log per-instance err prob
+    qual_sum: jax.Array    # (N, k) float32: per-position phred sum (cap 63)
+
+
+class SubClusters(NamedTuple):
+    solid: jax.Array         # (N,) bool — k-mer marked good
+    is_center: jax.Array     # (N,) bool — k-mer is a subcluster center
+    center_bases: jax.Array  # (N, k) uint8 — consensus bases of the
+    #                          k-mer's subcluster (its voting target)
+    rep: jax.Array           # (N,) int32 Hamming-cluster representative
+
+
+def _qual_probs(qual_sum: jax.Array):
+    """Per-position log-probabilities from summed phred quality
+    (main.cpp:103-108: rprob = 0.75 below q=3, else 10^(-q/10))."""
+    q = jnp.minimum(qual_sum, float(QUAL_CAP))
+    perr = jnp.where(q < 3.0, 0.75, jnp.power(10.0, -q / 10.0))
+    lp = jnp.log1p(-perr)                 # log P(base correct)
+    lrp = jnp.log(perr) - jnp.log(3.0)    # log P(this wrong base)
+    return lp, lrp
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def count_kmers_stats(codes: jax.Array, lengths: jax.Array,
+                      quals: jax.Array, k: int
+                      ) -> tuple[counter.KmerTable, KmerQualStats]:
+    """Count canonical k-mers with BayesHammer's quality statistics.
+
+    Replaces KMerDataCounter's locked Merge (kmer_data.cpp:119-155):
+    ``total_lq`` accumulates log(1 - prod_i P(base_i correct)) per
+    instance; ``qual_sum`` accumulates the phred value of each position
+    in canonical orientation (PushKMerRC reverses the quality vector,
+    kmer_data.cpp:138-143).
+    """
+    canon, valid, is_fwd = kmer.extract_canonical_kmers(codes, lengths, k)
+    R, P, W = canon.shape
+    q = jnp.maximum(quals.astype(jnp.float32) - 33.0, 0.0)
+    perr = jnp.where(q < 3.0, 0.75, jnp.power(10.0, -q / 10.0))
+    lp = jnp.log1p(-perr)
+    cs0 = jnp.concatenate([jnp.zeros((R, 1), jnp.float32),
+                           jnp.cumsum(lp, axis=1)], axis=1)
+    # per-instance log P(all k bases correct) and log P(erroneous)
+    lp_inst = cs0[:, k:P + k] - cs0[:, :P]           # (R, P)
+    lq_inst = jnp.log1p(-jnp.minimum(jnp.exp(lp_inst), 1.0 - 1e-12))
+
+    flat = canon.reshape(-1, W)
+    fvalid = valid.reshape(-1)
+    inst = jnp.arange(R * P, dtype=jnp.int32)
+    skeys, (sinst,), svalid = segments.sort_by_key_rows(
+        flat, (inst,), fvalid)
+    uniq, counts, gid, num = segments.unique_counts(skeys, svalid)
+    NR = skeys.shape[0]
+    scatter_gid = jnp.where(svalid, gid, NR)
+    total_lq = jnp.zeros((NR,), jnp.float32).at[scatter_gid].add(
+        lq_inst.reshape(-1)[sinst], mode="drop")
+
+    # per-position quality in canonical orientation
+    offs = jnp.arange(k)
+    rpos = sinst // P
+    ppos = sinst % P
+    fwd = is_fwd.reshape(-1)[sinst]                  # (NR,)
+    col = jnp.where(fwd[:, None], offs[None, :], (k - 1 - offs)[None, :])
+    qv = q[rpos[:, None], ppos[:, None] + col]       # (NR, k)
+    qual_sum = jnp.zeros((NR, k), jnp.float32).at[
+        scatter_gid[:, None], jnp.broadcast_to(offs[None, :], (NR, k))
+    ].add(qv, mode="drop")
+    qual_sum = jnp.minimum(qual_sum, float(QUAL_CAP))
+
+    table = counter.KmerTable(uniq, counts.astype(jnp.int32), num)
+    return table, KmerQualStats(total_lq=total_lq, qual_sum=qual_sum)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "max_l", "em_iters"))
+def subcluster_kmers(kmers: jax.Array, counts: jax.Array, num: jax.Array,
+                     stats: KmerQualStats, rep: jax.Array, k: int,
+                     max_l: int = 4, em_iters: int = 4) -> SubClusters:
+    """Bayesian subclustering of Hamming clusters (kmer_cluster.cpp).
+
+    ``rep`` assigns each unique k-mer to its Hamming cluster (from
+    cluster.cluster_kmers).  For every cluster, l-means with
+    quality-aware likelihood runs for l = 1..max_l; BIC selects the
+    best l; subcluster centers are quality-marked good/bad.
+    """
+    N, W = kmers.shape
+    valid = jnp.arange(N) < num
+    bases = dna.unpack_kmers(kmers, k).astype(jnp.int32)   # (N, k)
+    lp, lrp = _qual_probs(stats.qual_sum)                  # (N, k)
+
+    # dense cluster ids + count-descending rank within cluster
+    # (clusters sorted in count-decreasing order, kmer_cluster.cpp:624)
+    order = jnp.lexsort((jnp.arange(N), -counts,
+                         jnp.where(valid, rep, N)))
+    srep = jnp.where(valid, rep, N)[order]
+    start = jnp.concatenate([jnp.ones((1,), bool),
+                             srep[1:] != srep[:-1]])
+    cid_sorted = jnp.cumsum(start.astype(jnp.int32)) - 1   # (N,)
+    seg_first = jnp.where(start, jnp.arange(N), 0)
+    seg_first = jax.lax.associative_scan(jnp.maximum, seg_first)
+    rank_sorted = jnp.arange(N) - seg_first
+    cid = jnp.zeros((N,), jnp.int32).at[order].set(cid_sorted)
+    rank = jnp.zeros((N,), jnp.int32).at[order].set(rank_sorted)
+    svalid = valid[order]
+    csize = jnp.zeros((N,), jnp.int32).at[
+        jnp.where(svalid, cid_sorted, N)].add(1, mode="drop")
+
+    # candidate seed rows: top-max_l members by count (lMeansClustering
+    # "we assume that kmers are sorted wrt the count", :154-156)
+    cand = jnp.full((N, max_l), N, jnp.int32).at[
+        jnp.where(valid & (rank < max_l), cid, N),
+        jnp.minimum(rank, max_l - 1)].set(jnp.arange(N, dtype=jnp.int32),
+                                          mode="drop")
+    cand_safe = jnp.minimum(cand, N - 1)
+    seed_bases = bases[cand_safe]                          # (N, max_l, k)
+
+    total_cnt = jnp.zeros((N,), jnp.float32).at[
+        jnp.where(valid, cid, N)].add(counts.astype(jnp.float32),
+                                      mode="drop")
+    log_total = jnp.log(jnp.maximum(total_cnt, 2.0))
+
+    cidx_k = jnp.broadcast_to(jnp.arange(k)[None, :], (N, k))
+    countsf = counts.astype(jnp.float32)
+
+    def run_l(l: int):
+        act = (jnp.arange(max_l)[None, :] < jnp.minimum(l, csize)[:, None])
+
+        def em(_, centers):
+            cb = centers[cid]                              # (N, max_l, k)
+            match = cb == bases[:, None, :]
+            logl = jnp.sum(jnp.where(match, lp[:, None, :],
+                                     lrp[:, None, :]), axis=-1)
+            logl = jnp.where(act[cid], logl, -jnp.inf)
+            assign = jnp.argmax(logl, axis=-1).astype(jnp.int32)
+            # M step: count-weighted per-position consensus
+            # (ConsensusWithMask, kmer_cluster.cpp:49)
+            scores = jnp.zeros((N, max_l, k, 4), jnp.float32).at[
+                jnp.where(valid, cid, N)[:, None], assign[:, None],
+                cidx_k, bases].add(countsf[:, None], mode="drop")
+            new_c = jnp.argmax(scores, axis=-1).astype(jnp.int32)
+            nonempty = scores.sum(axis=-1) > 0             # (N, max_l, k)
+            return jnp.where(nonempty, new_c, centers)
+
+        centers = jax.lax.fori_loop(0, em_iters, em, seed_bases)
+        # final assignment + BIC
+        cb = centers[cid]
+        match = cb == bases[:, None, :]
+        logl = jnp.sum(jnp.where(match, lp[:, None, :], lrp[:, None, :]),
+                       axis=-1)
+        logl = jnp.where(act[cid], logl, -jnp.inf)
+        assign = jnp.argmax(logl, axis=-1).astype(jnp.int32)
+        best = jnp.max(logl, axis=-1)
+        wl = jnp.where(valid, countsf * best, 0.0)
+        loglik = jnp.zeros((N,), jnp.float32).at[
+            jnp.where(valid, cid, N)].add(wl, mode="drop")
+        nparams = (l - 1) + 3 * l * k                      # ClusterBIC:112
+        bic = loglik - nparams * log_total / 2.0
+        # l > cluster size is not a real model
+        bic = jnp.where(csize >= l, bic, -jnp.inf)
+        return bic, assign, centers
+
+    best_bic, best_assign, best_centers = run_l(1)
+    for l in range(2, max_l + 1):
+        bic, assign, centers = run_l(l)
+        better = bic > best_bic
+        best_bic = jnp.where(better, bic, best_bic)
+        best_assign = jnp.where(better[cid], assign, best_assign)
+        best_centers = jnp.where(better[:, None, None], centers,
+                                 best_centers)
+
+    # per-member consensus bases (the voting target)
+    cons = best_centers[cid, best_assign]                  # (N, k)
+    is_center = valid & jnp.all(cons == bases, axis=-1)
+    # subcluster quality (ProcessCluster:513-519): center_quality from
+    # the center member's total_qual; cluster_quality from the product
+    # of the OTHER members' total_qual
+    sub = jnp.where(valid, cid * max_l + best_assign, N * max_l)
+    sub_lq = jnp.zeros((N * max_l,), jnp.float32).at[sub].add(
+        jnp.where(valid, stats.total_lq, 0.0), mode="drop")
+    center_lq = jnp.zeros((N * max_l,), jnp.float32).at[
+        jnp.where(is_center, sub, N * max_l)].add(
+        stats.total_lq, mode="drop")
+    has_center = jnp.zeros((N * max_l,), bool).at[
+        jnp.where(is_center, sub, N * max_l)].set(True, mode="drop")
+    sub_n = jnp.zeros((N * max_l,), jnp.int32).at[sub].add(
+        1, mode="drop")
+    rest_lq = sub_lq - jnp.where(has_center, center_lq, 0.0)
+    cluster_q = 1.0 - jnp.exp(rest_lq)                     # (N*max_l,)
+
+    center_quality = 1.0 - jnp.exp(stats.total_lq)         # (N,)
+    singleton_sub = sub_n[jnp.minimum(sub, N * max_l - 1)] == 1
+    clq = jnp.where(singleton_sub, 1.0,
+                    cluster_q[jnp.minimum(sub, N * max_l - 1)])
+    good = ((center_quality > SINGLETON_THRESHOLD)
+            & (clq > NONSINGLETON_THRESHOLD)) | (
+        center_quality > CORRECT_THRESHOLD)
+    solid = is_center & good
+    return SubClusters(solid=solid, is_center=is_center,
+                       center_bases=cons.astype(jnp.uint8),
+                       rep=jnp.where(valid, rep, N))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_rounds"))
+def expand_solid(codes: jax.Array, lengths: jax.Array,
+                 table: counter.KmerTable, solid: jax.Array, k: int,
+                 max_rounds: int = 8) -> jax.Array:
+    """Iterative solid-set expansion (expander.cpp:17-70): every read
+    whose positions are all covered by solid k-mers promotes its
+    remaining k-mers to solid.  Runs the read loop as one batched
+    windowed-OR per round (expand_max_iterations bounds the fixed
+    point; coverage saturates in a few rounds on real data)."""
+    R, L = codes.shape
+    N = table.kmers.shape[0]
+    canon, valid, _ = kmer.extract_canonical_kmers(codes, lengths, k)
+    P = canon.shape[1]
+    row = segments.searchsorted_rows(
+        table.kmers, canon.reshape(-1, canon.shape[2])).reshape(R, P)
+    found = (row < table.num) & valid
+    safe_row = jnp.where(found, row, 0)
+    in_read = jnp.arange(L)[None, :] < lengths[:, None]
+
+    def round_(solid):
+        good = solid[safe_row] & found                     # (R, P)
+        # windowed OR: position t covered iff some good k-mer starts in
+        # (t-k, t]; prefix-count difference gives the window sum
+        gi = good.astype(jnp.int32)
+        cs = jnp.concatenate([jnp.zeros((R, 1), jnp.int32),
+                              jnp.cumsum(gi, axis=1)], axis=1)  # (R, P+1)
+        t = jnp.arange(L)
+        hi = jnp.minimum(t + 1, P)
+        lo = jnp.maximum(t - (k - 1), 0)
+        covered = (cs[:, hi] - cs[:, lo]) > 0              # (R, L)
+        read_ok = jnp.all(covered | ~in_read, axis=1) & (lengths >= k)
+        promote = found & read_ok[:, None]
+        new_solid = solid.at[
+            jnp.where(promote, safe_row, N)].max(promote, mode="drop")
+        changed = jnp.sum((new_solid & ~solid).astype(jnp.int32))
+        return new_solid, changed
+
+    def cond(state):
+        _, changed, it = state
+        return (changed > 0) & (it < max_rounds)
+
+    def body(state):
+        solid, _, it = state
+        new_solid, changed = round_(solid)
+        return new_solid, changed, it + 1
+
+    solid, _, _ = jax.lax.while_loop(
+        cond, body, (solid, jnp.int32(1), jnp.int32(0)))
+    return solid

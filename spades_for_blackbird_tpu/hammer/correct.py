@@ -75,19 +75,74 @@ def correct_batch(codes: jax.Array, lengths: jax.Array,
                             jnp.sum(clusters.solid.astype(jnp.int32)))
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def correct_batch_bayes(codes: jax.Array, lengths: jax.Array,
+                        table: counter.KmerTable, solid: jax.Array,
+                        center_bases: jax.Array, k: int
+                        ) -> CorrectionResult:
+    """Voting correction driven by the Bayesian subclustering: a solid
+    k-mer votes its own bases; a bad k-mer votes its subcluster's
+    consensus bases (kmer_cluster.cpp centers) — a bad k-mer that IS
+    its own consensus carries no signal and abstains (the reference's
+    bad k-mers never vote at all)."""
+    R, L = codes.shape
+    canon, valid, is_fwd = kmer.extract_canonical_kmers(codes, lengths, k)
+    P = canon.shape[1]
+    flat = canon.reshape(-1, canon.shape[2])
+    row = segments.searchsorted_rows(table.kmers, flat).reshape(R, P)
+    found = (row < table.num) & valid
+    safe_row = jnp.where(found, row, 0)
+
+    is_solid = solid[safe_row] & found                     # (R, P)
+    own = dna.unpack_kmers(canon.reshape(-1, canon.shape[2]),
+                           k).reshape(R, P, k)
+    cons = center_bases[safe_row]                          # (R, P, k)
+    corrects = jnp.any(cons != own, axis=-1)
+    vote_canon = jnp.where(is_solid[..., None], own, cons)
+    # orient canonical vote bases along the read
+    vote_rc = (3 - vote_canon[..., ::-1]) & 3
+    bases = jnp.where(is_fwd[..., None], vote_canon, vote_rc)
+    can_vote = found & (is_solid | corrects)
+
+    pos = jnp.arange(P)[:, None] + jnp.arange(k)[None, :]
+    read_id = jnp.broadcast_to(jnp.arange(R)[:, None, None], (R, P, k))
+    votes = jnp.zeros((R, L, 4), jnp.int32)
+    scatter_pos = jnp.where(can_vote[..., None], pos[None, :, :], L)
+    votes = votes.at[read_id, scatter_pos, bases.astype(jnp.int32)].add(
+        1, mode="drop")
+
+    best = jnp.argmax(votes, axis=-1).astype(jnp.uint8)
+    vote_total = jnp.sum(votes, axis=-1)
+    vote_max = jnp.max(votes, axis=-1)
+    decided = (vote_max * 2 > vote_total) & (vote_total > 0)
+    in_read = jnp.arange(L)[None, :] < lengths[:, None]
+    was_valid = codes < dna.INVALID_CODE
+    out = jnp.where(decided & in_read, best, codes)
+    out = jnp.where(in_read, out, codes)
+    changed = jnp.sum((out != codes) & was_valid & in_read)
+    return CorrectionResult(out, changed.astype(jnp.int32),
+                            jnp.sum(solid.astype(jnp.int32)))
+
+
 def correct_reads(codes, lengths, k: int = 21, max_iterations: int = 2,
-                  center_ratio: float = 10.0, quals=None):
+                  center_ratio: float = 10.0, quals=None,
+                  bayes: bool = True):
     """Iterative BayesHammer-style correction (main loop,
     projects/hammer/main.cpp:55): count -> cluster -> correct until no
     changes or max_iterations.
 
-    With ``quals`` (raw phred+33), solidity uses quality mass instead of
-    raw counts (kmer_stat.hpp's quality statistic): error k-mers built
-    from miscalled bases fall below the threshold even when their raw
-    count would pass.
+    With ``quals`` (raw phred+33) and ``bayes`` (the default), the full
+    statistical pipeline runs: per-position quality statistics,
+    Bayesian l-means subclustering with BIC model selection
+    (kmer_cluster.cpp), and the read-driven solid-set expander
+    (expander.cpp:17).  Without qualities the count-based center-ratio
+    heuristic is the fallback.
 
     Returns (corrected_codes np.ndarray, stats dict).
     """
+    if quals is not None and bayes:
+        return _correct_reads_bayes(codes, lengths, quals, k,
+                                    max_iterations)
     import jax as _jax
     codes = jnp.asarray(codes)
     lengths = jnp.asarray(lengths)
@@ -115,6 +170,38 @@ def correct_reads(codes, lengths, k: int = 21, max_iterations: int = 2,
         stats = {"iterations": it + 1, "changed_bases": total_changed,
                  "solid_kmers": int(res.solid_kmers),
                  "good_threshold": good_thr}
+        codes = res.codes
+        if changed == 0:
+            break
+    return np.asarray(codes), stats
+
+
+def _correct_reads_bayes(codes, lengths, quals, k: int,
+                         max_iterations: int):
+    """count -> Hamming cluster -> Bayesian subcluster -> expand ->
+    correct, iterated (projects/hammer/main.cpp:118-260 with
+    count_do/cluster_do/bayes_do/expand_do/correct_do all on)."""
+    from . import bayes
+    codes = jnp.asarray(codes)
+    lengths = jnp.asarray(lengths)
+    quals = jnp.asarray(quals)
+    total_changed = 0
+    stats = {}
+    for it in range(max_iterations):
+        table, qstats = bayes.count_kmers_stats(codes, lengths, quals, k)
+        clusters = cluster_kmers(
+            table.kmers, table.counts, table.num, k,
+            jnp.int32(2 ** 30), jnp.float32(0.0))  # topology only
+        sub = bayes.subcluster_kmers(table.kmers, table.counts,
+                                     table.num, qstats, clusters.rep, k)
+        solid = bayes.expand_solid(codes, lengths, table, sub.solid, k)
+        res = correct_batch_bayes(codes, lengths, table, solid,
+                                  sub.center_bases, k)
+        changed = int(res.changed_bases)
+        total_changed += changed
+        stats = {"iterations": it + 1, "changed_bases": total_changed,
+                 "solid_kmers": int(jnp.sum(solid)),
+                 "mode": "bayes"}
         codes = res.codes
         if changed == 0:
             break

@@ -1,0 +1,130 @@
+"""BayesHammer statistical-core tests (kmer_cluster.cpp Bayesian
+subclustering + expander.cpp solid-set expansion): on quality-skewed
+error reads the Bayesian pipeline must measurably beat the count-based
+center-ratio heuristic in corrected-base precision/recall.
+"""
+
+import numpy as np
+import pytest
+
+
+def make_dataset(seed=7, glen=2000, L=60, step=2, err_rate=0.5):
+    from spades_for_blackbird_tpu.ops import dna
+    rng = np.random.default_rng(seed)
+    genome = "".join(rng.choice(list("ACGT"), size=glen))
+    reads, quals, planted = [], [], 0
+    for pos in range(0, glen - L + 1, step):
+        s = list(genome[pos:pos + L])
+        q = np.full(L, 38, np.int64)
+        lowq = rng.choice(L, size=3, replace=False)
+        for i in lowq:
+            q[i] = rng.integers(2, 12)
+            if rng.random() < err_rate:
+                s[i] = rng.choice([c for c in "ACGT" if c != s[i]])
+                planted += 1
+        reads.append("".join(s))
+        quals.append(q + 33)
+    codes, lengths = dna.encode_reads(reads)
+    qarr = np.zeros(codes.shape, np.uint8)
+    for i, q in enumerate(quals):
+        qarr[i, :L] = q
+    truth, _ = dna.encode_reads(
+        [genome[p:p + L] for p in range(0, glen - L + 1, step)])
+    return codes, lengths, qarr, np.asarray(truth), planted
+
+
+def score(codes, truth, out):
+    wrong = codes != truth
+    fixed = int((wrong & (out == truth)).sum())
+    broke = int((~wrong & (out != truth)).sum())
+    return fixed, broke, int(wrong.sum())
+
+
+def test_bayes_beats_center_ratio_heuristic():
+    from spades_for_blackbird_tpu.hammer import correct
+    codes, lengths, qarr, truth, planted = make_dataset()
+    out_b, st_b = correct.correct_reads(
+        codes, lengths, k=21, quals=qarr, bayes=True)
+    out_h, st_h = correct.correct_reads(
+        codes, lengths, k=21, quals=qarr, bayes=False)
+    fixed_b, broke_b, wrong = score(codes, truth, out_b)
+    fixed_h, broke_h, _ = score(codes, truth, out_h)
+    assert st_b["mode"] == "bayes"
+    # recall: the Bayesian model must recover the clear majority of
+    # planted errors and beat the heuristic by a wide margin
+    assert fixed_b / wrong > 0.9, (fixed_b, wrong)
+    assert fixed_b > fixed_h * 1.5, (fixed_b, fixed_h)
+    # precision: (almost) no correct bases may be corrupted
+    assert broke_b <= wrong // 100, broke_b
+
+
+def test_subclustering_separates_two_genomic_centers():
+    """A Hamming cluster holding TWO genomic k-mers linked by an error
+    chain must yield two solid centers (the center-ratio heuristic
+    marks the lower-count one as an error when counts differ 10x)."""
+    import jax.numpy as jnp
+    from spades_for_blackbird_tpu.hammer import bayes, cluster
+    from spades_for_blackbird_tpu.ops import dna
+
+    k = 21
+    rng = np.random.default_rng(5)
+    a = "".join(rng.choice(list("ACGT"), size=k))
+    # b = a with one substitution: Hamming distance 1 from a
+    sub = {"A": "C", "C": "G", "G": "T", "T": "A"}[a[10]]
+    b = a[:10] + sub + a[11:]
+    reads = [a] * 200 + [b] * 15
+    quals = [np.full(k, 40, np.int64) + 33] * 215
+    codes, lengths = dna.encode_reads(reads)
+    qarr = np.stack(quals).astype(np.uint8)
+
+    table, qstats = bayes.count_kmers_stats(
+        jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(qarr), k)
+    assert int(table.num) == 2
+    clusters = cluster.cluster_kmers(
+        table.kmers, table.counts, table.num, k,
+        jnp.int32(2 ** 30), jnp.float32(10.0))
+    # one Hamming cluster joins them
+    rep = np.asarray(clusters.rep)[:2]
+    assert rep[0] == rep[1]
+    sub = bayes.subcluster_kmers(table.kmers, table.counts, table.num,
+                                 qstats, clusters.rep, k)
+    solid = np.asarray(sub.solid)[:2]
+    # high quality on both: BIC picks l=2, both centers solid
+    assert solid.all(), solid
+    # the heuristic keeps only the dominant center solid
+    assert np.asarray(clusters.solid)[:2].sum() == 1
+
+
+def test_expander_promotes_covered_kmers():
+    """expander.cpp:17: a read fully covered by solid k-mers promotes
+    its remaining k-mers to solid."""
+    import jax.numpy as jnp
+    from spades_for_blackbird_tpu.hammer import bayes
+    from spades_for_blackbird_tpu.kmers import counter
+    from spades_for_blackbird_tpu.ops import dna
+
+    k = 5
+    rng = np.random.default_rng(3)
+    seq = "".join(rng.choice(list("ACGT"), size=30))
+    codes, lengths = dna.encode_reads([seq])
+    table = counter.count_kmers(jnp.asarray(codes), jnp.asarray(lengths),
+                                k)
+    n = int(table.num)
+    solid0 = np.zeros(table.kmers.shape[0], bool)
+    # mark a covering subset solid: every 3rd k-mer start still covers
+    # all positions for k=5
+    from spades_for_blackbird_tpu.ops import kmer as kops
+    from spades_for_blackbird_tpu.ops import segments
+    canon, valid, _ = kops.extract_canonical_kmers(
+        jnp.asarray(codes), jnp.asarray(lengths), k)
+    rows = np.asarray(segments.searchsorted_rows(
+        table.kmers, canon.reshape(-1, canon.shape[2])))
+    P = canon.shape[1]
+    for p in range(0, len(seq) - k + 1, 3):
+        solid0[rows[p]] = True
+    solid0[rows[len(seq) - k]] = True
+    before = solid0.sum()
+    out = np.asarray(bayes.expand_solid(
+        jnp.asarray(codes), jnp.asarray(lengths), table,
+        jnp.asarray(solid0), k))
+    assert out[:n].all(), (before, out[:n].sum(), n)
