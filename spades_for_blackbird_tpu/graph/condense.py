@@ -85,6 +85,32 @@ def build_graph(kp1_table: KmerTable, vt: extension.VertexTable, k: int
     # self-loop guard: an edge must not succeed itself
     succ = jnp.where(succ == jnp.arange(O), NONE, succ)
 
+    # ---- endpoint vertices (oriented k-mer ids: 2*vidx + (0 fwd / 1 rc))
+    cpre, pfwd = dna.canonicalize_kmers(prefix, k)
+    pvidx = segments.searchsorted_rows(vt.kmers, cpre)
+    ov_start = 2 * pvidx + (1 - pfwd.astype(jnp.int32))
+    ov_end = 2 * vidx + (1 - sfwd.astype(jnp.int32))
+
+    o_counts = kp1_table.counts[jnp.arange(O) // 2].astype(jnp.float32)
+    return contract_and_materialize(ori, ovalid, succ, o_counts,
+                                    ov_start, ov_end, k)
+
+
+def contract_and_materialize(ori: jax.Array, ovalid: jax.Array,
+                             succ: jax.Array, o_counts: jax.Array,
+                             ov_start: jax.Array, ov_end: jax.Array,
+                             k: int) -> Graph:
+    """Chain contraction + unitig materialization over per-oriented-
+    instance arrays (the second half of build_graph, shared with the
+    distributed builder in parallel/condense_dist.py, where the same
+    global-index-space program runs GSPMD-sharded over a device mesh).
+
+    ori: (O, W1) oriented (k+1)-mer words; succ: (O,) global successor
+    index (O = NONE); o_counts: (O,) multiplicity; ov_start/ov_end:
+    (O,) oriented junction-vertex ids of each instance's endpoints.
+    """
+    O = ori.shape[0]
+
     # ---- chain contraction (conjugate of oriented instance 2j+s is 2j+1-s)
     conj_o = jnp.arange(O, dtype=jnp.int32) ^ 1
     chains = pointer_jump.contract_chains(succ, conj_o, ovalid)
@@ -96,7 +122,6 @@ def build_graph(kp1_table: KmerTable, vt: extension.VertexTable, k: int
 
     chain_len = jnp.zeros((O,), jnp.int32).at[uid_safe].max(
         off + 1, mode="drop")
-    o_counts = kp1_table.counts[jnp.arange(O) // 2].astype(jnp.float32)
     cov_sum = jnp.zeros((O,), jnp.float32).at[uid_safe].add(
         o_counts, mode="drop")
     # flanking coverage: average multiplicity of the unitig's first
@@ -129,11 +154,6 @@ def build_graph(kp1_table: KmerTable, vt: extension.VertexTable, k: int
     seq_flat = jnp.zeros((flat_cap,), jnp.uint8).at[base_pos].set(
         codes, mode="drop")
 
-    # ---- endpoint vertices (oriented k-mer ids: 2*vidx + (0 fwd / 1 rc))
-    cpre, pfwd = dna.canonicalize_kmers(prefix, k)
-    pvidx = segments.searchsorted_rows(vt.kmers, cpre)
-    ov_start = 2 * pvidx + (1 - pfwd.astype(jnp.int32))   # per oriented edge
-    ov_end = 2 * vidx + (1 - sfwd.astype(jnp.int32))
     start_v = ov_start[jnp.minimum(start_node, O - 1)]
     end_v = ov_end[jnp.minimum(last_node, O - 1)]
 

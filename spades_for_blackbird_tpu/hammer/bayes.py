@@ -120,6 +120,82 @@ def count_kmers_stats(codes: jax.Array, lengths: jax.Array,
     return table, KmerQualStats(total_lq=total_lq, qual_sum=qual_sum)
 
 
+def _trim_stats(table: counter.KmerTable, stats: KmerQualStats):
+    """Trim table+stats to pow2 unique capacity (counter.trim_table)."""
+    cap = 1 << max(1, int(table.num) - 1).bit_length()
+    cap = min(cap, table.capacity)
+    return (counter.KmerTable(table.kmers[:cap], table.counts[:cap],
+                              table.num),
+            KmerQualStats(total_lq=stats.total_lq[:cap],
+                          qual_sum=stats.qual_sum[:cap]))
+
+
+@jax.jit
+def _merge_stats_tables(ak, ac, alq, aq, an, bk, bc, blq, bq, bn):
+    """Merge two sorted unique k-mer tables with quality statistics:
+    counts, total_lq and per-position qual_sum all add per identical
+    k-mer (the streamed equivalent of kmer_data.cpp:119 Merge)."""
+    kmers = jnp.concatenate([ak, bk], axis=0)
+    valid = jnp.concatenate([jnp.arange(ak.shape[0]) < an,
+                             jnp.arange(bk.shape[0]) < bn])
+    cnt = jnp.concatenate([ac, bc])
+    lq = jnp.concatenate([alq, blq])
+    qs = jnp.concatenate([aq, bq], axis=0)
+    order = jnp.arange(kmers.shape[0], dtype=jnp.int32)
+    skeys, (so,), svalid = segments.sort_by_key_rows(kmers, (order,), valid)
+    uniq, counts, gid, num = segments.unique_counts(
+        skeys, svalid, weights=cnt[so])
+    N = skeys.shape[0]
+    sg = jnp.where(svalid, gid, N)
+    mlq = jnp.zeros((N,), jnp.float32).at[sg].add(lq[so], mode="drop")
+    k = qs.shape[1]
+    mqs = jnp.zeros((N, k), jnp.float32).at[
+        sg[:, None], jnp.broadcast_to(jnp.arange(k)[None, :],
+                                      (N, k))].add(qs[so], mode="drop")
+    mqs = jnp.minimum(mqs, float(QUAL_CAP))
+    return uniq, counts.astype(jnp.int32), mlq, mqs, num
+
+
+def count_kmers_stats_chunked(codes, lengths, quals, k: int,
+                              chunk: int = 1 << 15
+                              ) -> tuple[counter.KmerTable, KmerQualStats]:
+    """`count_kmers_stats` over fixed-size read chunks: each chunk's
+    (R*P)-row sort and (R*P, k) quality matrices stay bounded; chunk
+    tables trim to their unique counts and merge with stat summation.
+    This is the out-of-core path for real libraries (the reference
+    counts through disk buckets, kmer_data.cpp KMerDataCounter)."""
+    import numpy as np
+    codes = jnp.asarray(codes)
+    lengths = jnp.asarray(lengths)
+    quals = jnp.asarray(quals)
+    R = codes.shape[0]
+    if R <= chunk:
+        table, stats = count_kmers_stats(codes, lengths, quals, k)
+        return _trim_stats(table, stats)
+    table = stats = None
+    for lo in range(0, R, chunk):
+        hi = min(lo + chunk, R)
+        c, l, q = codes[lo:hi], lengths[lo:hi], quals[lo:hi]
+        if hi - lo < chunk:
+            pad = chunk - (hi - lo)
+            c = jnp.pad(c, ((0, pad), (0, 0)), constant_values=4)
+            l = jnp.pad(l, (0, pad))
+            q = jnp.pad(q, ((0, pad), (0, 0)))
+        t, s = count_kmers_stats(c, l, q, k)
+        t, s = _trim_stats(t, s)
+        if table is None:
+            table, stats = t, s
+        else:
+            uniq, counts, mlq, mqs, num = _merge_stats_tables(
+                table.kmers, table.counts, stats.total_lq,
+                stats.qual_sum, table.num,
+                t.kmers, t.counts, s.total_lq, s.qual_sum, t.num)
+            table = counter.KmerTable(uniq, counts, num)
+            stats = KmerQualStats(total_lq=mlq, qual_sum=mqs)
+            table, stats = _trim_stats(table, stats)
+    return table, stats
+
+
 @functools.partial(jax.jit,
                    static_argnames=("k", "max_l", "em_iters"))
 def subcluster_kmers(kmers: jax.Array, counts: jax.Array, num: jax.Array,

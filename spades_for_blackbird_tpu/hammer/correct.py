@@ -124,6 +124,34 @@ def correct_batch_bayes(codes: jax.Array, lengths: jax.Array,
                             jnp.sum(solid.astype(jnp.int32)))
 
 
+_CHUNK = 1 << 15  # reads per correction chunk: bounds (R, P, k) scatters
+
+
+def _run_chunked(fn, codes, lengths, chunk=_CHUNK):
+    """Apply a per-read jitted correction over fixed-shape read chunks.
+
+    ``fn(codes_chunk, lengths_chunk) -> CorrectionResult``; votes and
+    fixes are per-read, so chunks are independent (the reference's
+    OpenMP read loop, read_corrector.cpp:19)."""
+    R = codes.shape[0]
+    if R <= chunk:
+        return fn(codes, lengths)
+    outs, changed, solid = [], 0, 0
+    for lo in range(0, R, chunk):
+        hi = min(lo + chunk, R)
+        c, l = codes[lo:hi], lengths[lo:hi]
+        if hi - lo < chunk:
+            c = jnp.pad(c, ((0, chunk - (hi - lo)), (0, 0)),
+                        constant_values=4)
+            l = jnp.pad(l, (0, chunk - (hi - lo)))
+        res = fn(c, l)
+        outs.append(np.asarray(res.codes)[:hi - lo])
+        changed += int(res.changed_bases)
+        solid = int(res.solid_kmers)
+    return CorrectionResult(jnp.asarray(np.concatenate(outs)),
+                            jnp.int32(changed), jnp.int32(solid))
+
+
 def correct_reads(codes, lengths, k: int = 21, max_iterations: int = 2,
                   center_ratio: float = 10.0, quals=None,
                   bayes: bool = True):
@@ -154,9 +182,16 @@ def correct_reads(codes, lengths, k: int = 21, max_iterations: int = 2,
         if quals is not None:
             table, qweight = counter.count_kmers_quality(
                 codes, lengths, quals, k)
+            # trim to pow2 unique capacity: clustering shapes must
+            # scale with distinct k-mers, not the R*P raw stream
+            cap = counter.trim_table(table).capacity
+            qweight = qweight[:cap]
+            table = counter.KmerTable(table.kmers[:cap],
+                                      table.counts[:cap], table.num)
             cluster_counts = jnp.round(qweight).astype(jnp.int32)
         else:
-            table = counter.count_kmers(codes, lengths, k)
+            table = counter.trim_table(counter.count_kmers(
+                codes, lengths, k))
             cluster_counts = table.counts
         ginfo = coverage_model.fit_coverage_model(
             np.asarray(cluster_counts[:int(table.num)]))
@@ -164,7 +199,9 @@ def correct_reads(codes, lengths, k: int = 21, max_iterations: int = 2,
         clusters = cluster_kmers(
             table.kmers, cluster_counts, table.num, k,
             jnp.int32(int(good_thr)), jnp.float32(center_ratio))
-        res = correct_batch(codes, lengths, table, clusters, k)
+        res = _run_chunked(
+            lambda c, l: correct_batch(c, l, table, clusters, k),
+            codes, lengths)
         changed = int(res.changed_bases)
         total_changed += changed
         stats = {"iterations": it + 1, "changed_bases": total_changed,
@@ -188,15 +225,21 @@ def _correct_reads_bayes(codes, lengths, quals, k: int,
     total_changed = 0
     stats = {}
     for it in range(max_iterations):
-        table, qstats = bayes.count_kmers_stats(codes, lengths, quals, k)
+        # chunked count: bounded (R*P)-row sorts; trimmed to pow2
+        # unique capacity so the subclustering EM's (N, max_l, k, 4)
+        # scores scale with distinct k-mers, not the raw stream
+        table, qstats = bayes.count_kmers_stats_chunked(
+            codes, lengths, quals, k)
         clusters = cluster_kmers(
             table.kmers, table.counts, table.num, k,
             jnp.int32(2 ** 30), jnp.float32(0.0))  # topology only
         sub = bayes.subcluster_kmers(table.kmers, table.counts,
                                      table.num, qstats, clusters.rep, k)
         solid = bayes.expand_solid(codes, lengths, table, sub.solid, k)
-        res = correct_batch_bayes(codes, lengths, table, solid,
-                                  sub.center_bases, k)
+        res = _run_chunked(
+            lambda c, l: correct_batch_bayes(c, l, table, solid,
+                                             sub.center_bases, k),
+            codes, lengths)
         changed = int(res.changed_bases)
         total_changed += changed
         stats = {"iterations": it + 1, "changed_bases": total_changed,

@@ -20,6 +20,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..mapping.mapper import ReadMapping
 from ..ops import segments
@@ -120,6 +121,42 @@ def fill_paired_index_multi(m1, m2rc, is_shift: jax.Array) -> PairedIndex:
         weight=counts.astype(jnp.float32),
         num=num,
     )
+
+
+def _chain_slice(ch, lo: int, hi: int, chunk: int):
+    """Fixed-shape row slice of a ChainMapping (pad tail with unmapped)."""
+    import numpy as np
+    out = {}
+    pad = chunk - (hi - lo)
+    for name in ("oriented_edge", "start", "votes", "chain_len", "mapped"):
+        a = np.asarray(getattr(ch, name))[lo:hi]
+        if pad:
+            fill = -1 if name == "oriented_edge" else 0
+            width = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+            a = np.pad(a, width, constant_values=fill)
+        out[name] = jnp.asarray(a)
+    return type(ch)(**out)
+
+
+def fill_paired_index_multi_chunked(ch1, ch2, is_shift: jax.Array,
+                                    chunk: int = 1 << 16) -> PairedIndex:
+    """`fill_paired_index_multi` over fixed-size read-pair chunks.
+
+    Each chunk compiles once and bounds the (R*C*C)-row sort; chunk
+    results (already unique+counted) merge host-side with weight
+    summation. This is the out-of-core paired-info path the reference
+    gets from its chunked binary readers (pair_info_count.cpp processing
+    libraries in streams)."""
+    R = ch1.oriented_edge.shape[0]
+    if R <= chunk:
+        return fill_paired_index_multi(ch1, ch2, is_shift)
+    parts = []
+    for lo in range(0, R, chunk):
+        hi = min(lo + chunk, R)
+        c1 = _chain_slice(ch1, lo, hi, chunk)
+        c2 = _chain_slice(ch2, lo, hi, chunk)
+        parts.append(fill_paired_index_multi(c1, c2, is_shift))
+    return merge_paired_indices(parts)
 
 
 @jax.jit
@@ -226,79 +263,134 @@ def cluster_distances_smoothing(idx: PairedIndex, max_gap: jax.Array,
     )
 
 
+class _KeySpace:
+    """Monotone (e1, e2, d) -> int64 composite keys with data-dependent
+    field widths, so edge-id and distance ranges never silently collide
+    (meta graphs can exceed 2^20 edges; distances are signed)."""
+
+    def __init__(self, e_max: int, d_min: int, d_max: int):
+        self.e_bits = max(int(e_max).bit_length(), 1)
+        self.d_off = int(d_min)
+        self.d_bits = max(int(d_max - d_min + 1).bit_length(), 1)
+        if 2 * self.e_bits + self.d_bits > 62:
+            raise ValueError("paired-index key space exceeds 62 bits")
+
+    def key(self, e1, e2, d):
+        return (((e1.astype(np.int64) << self.e_bits)
+                 | e2.astype(np.int64)) << self.d_bits) \
+            | (d.astype(np.int64) - self.d_off)
+
+
+def _from_arrays(e1, e2, d, w, capacity):
+    n = len(e1)
+    cap = max(int(capacity), n)
+    E1 = np.zeros(cap, np.int32); E1[:n] = e1
+    E2 = np.zeros(cap, np.int32); E2[:n] = e2
+    D = np.zeros(cap, np.int32); D[:n] = d
+    W = np.zeros(cap, np.float32); W[:n] = w
+    return PairedIndex(e1=jnp.asarray(E1), e2=jnp.asarray(E2),
+                       dist=jnp.asarray(D), weight=jnp.asarray(W),
+                       num=jnp.int32(n))
+
+
 def improve_pair_info(idx: PairedIndex, max_spread: int = 10,
                       weight_coeff: float = 0.5) -> PairedIndex:
     """Transitive improvement (paired_info/pair_info_improver.hpp):
     (A,B,d1) + (B,C,d2) implies (A,C,d1+d2); missing implied points are
     added with weight ``weight_coeff * min(w1, w2)``, existing nearby
-    points (within ``max_spread``) are left alone.  Host-side: the
-    clustered index is small (one row per adjacent edge pair)."""
-    import numpy as np
+    points (within ``max_spread``) are left alone.
+
+    Host-side but fully vectorized: the B-join is a sorted-array
+    range join (searchsorted + repeat), the near-existing check a
+    single searchsorted on the composite (e1,e2,d) key — no Python
+    loops, so it survives real-genome-sized clustered indices.
+    """
     n = int(idx.num)
-    e1 = np.asarray(idx.e1)[:n]
-    e2 = np.asarray(idx.e2)[:n]
-    d = np.asarray(idx.dist)[:n]
-    w = np.asarray(idx.weight)[:n]
-    by_e1: dict[int, list[int]] = {}
-    existing: dict[tuple[int, int], list[int]] = {}
-    for i in range(n):
-        by_e1.setdefault(int(e1[i]), []).append(i)
-        existing.setdefault((int(e1[i]), int(e2[i])), []).append(i)
-    add = {}
-    for i in range(n):
-        for j in by_e1.get(int(e2[i]), []):
-            a, c = int(e1[i]), int(e2[j])
-            if a == c:
-                continue
-            dd = int(d[i]) + int(d[j])
-            ww = weight_coeff * min(float(w[i]), float(w[j]))
-            near = any(abs(int(d[x]) - dd) <= max_spread
-                       for x in existing.get((a, c), []))
-            if near:
-                continue
-            key = (a, c, dd)
-            add[key] = max(add.get(key, 0.0), ww)
-    if not add:
+    e1 = np.asarray(idx.e1)[:n].astype(np.int64)
+    e2 = np.asarray(idx.e2)[:n].astype(np.int64)
+    d = np.asarray(idx.dist)[:n].astype(np.int64)
+    w = np.asarray(idx.weight)[:n].astype(np.float64)
+    if n == 0:
         return idx
-    rows = sorted(existing_rows(e1, e2, d, w) + sorted(add.items()))
-    return _rebuild(rows, idx.capacity)
 
+    # rows are sorted by (e1, e2, d) already (count_sorted invariant);
+    # join i->j on e2[i] == e1[j]
+    lo = np.searchsorted(e1, e2, side="left")
+    hi = np.searchsorted(e1, e2, side="right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    if total == 0:
+        return idx
+    rows_i = np.repeat(np.arange(n), cnt)
+    # concatenated ranges lo[i] .. hi[i): offset trick
+    starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+    rows_j = (np.arange(total) - np.repeat(starts, cnt)
+              + np.repeat(lo, cnt))
 
-def existing_rows(e1, e2, d, w):
-    return [((int(a), int(b), int(dd)), float(ww))
-            for a, b, dd, ww in zip(e1, e2, d, w)]
+    a = e1[rows_i]
+    c = e2[rows_j]
+    dd = d[rows_i] + d[rows_j]
+    ww = weight_coeff * np.minimum(w[rows_i], w[rows_j])
+    keep = a != c
+    a, c, dd, ww = a[keep], c[keep], dd[keep], ww[keep]
+    if len(a) == 0:
+        return idx
 
+    # drop candidates with an existing point within max_spread: the
+    # first existing row >= (a, c, dd - spread) is within spread iff
+    # its composite key <= (a, c, dd + spread)
+    ks = _KeySpace(max(int(e1.max()), int(e2.max())),
+                   min(int(d.min()), int(dd.min()) - max_spread),
+                   max(int(d.max()), int(dd.max()) + max_spread))
+    comp_exist = ks.key(e1, e2, d)
+    pos = np.searchsorted(comp_exist, ks.key(a, c, dd - max_spread))
+    upper = ks.key(a, c, dd + max_spread)
+    near = (pos < n) & (comp_exist[np.minimum(pos, n - 1)] <= upper)
+    a, c, dd, ww = a[~near], c[~near], dd[~near], ww[~near]
+    if len(a) == 0:
+        return idx
 
-def _rebuild(rows, capacity):
-    import numpy as np
-    n = len(rows)
-    cap = max(capacity, n)
-    E1 = np.zeros(cap, np.int32)
-    E2 = np.zeros(cap, np.int32)
-    D = np.zeros(cap, np.int32)
-    W = np.zeros(cap, np.float32)
-    for i, ((a, b, dd), ww) in enumerate(rows):
-        E1[i], E2[i], D[i], W[i] = a, b, dd, ww
-    return PairedIndex(e1=jnp.asarray(E1), e2=jnp.asarray(E2),
-                       dist=jnp.asarray(D), weight=jnp.asarray(W),
-                       num=jnp.int32(n))
+    # dedup candidates by (a, c, dd), keep max weight
+    comp_new = ks.key(a, c, dd)
+    order = np.lexsort((-ww, comp_new))
+    comp_new, a, c, dd, ww = (comp_new[order], a[order], c[order],
+                              dd[order], ww[order])
+    first = np.concatenate([[True], comp_new[1:] != comp_new[:-1]])
+    a, c, dd, ww = a[first], c[first], dd[first], ww[first]
+
+    E1 = np.concatenate([e1, a])
+    E2 = np.concatenate([e2, c])
+    D = np.concatenate([d, dd])
+    W = np.concatenate([w, ww])
+    order = np.argsort(ks.key(E1, E2, D), kind="stable")
+    return _from_arrays(E1[order], E2[order], D[order], W[order],
+                        idx.capacity)
 
 
 def merge_paired_indices(indices: list[PairedIndex]) -> PairedIndex:
     """Merge clustered indices from multiple libraries into one table,
     summing weights of identical (e1, e2, d) rows (the reference keeps
     ``PairedIndices`` per lib, paired_info.hpp:659; scaffolding joins
-    pool evidence across libraries)."""
-    import numpy as np
+    pool evidence across libraries). Vectorized sort + run-length sum."""
     if len(indices) == 1:
         return indices[0]
-    acc: dict[tuple[int, int, int], float] = {}
-    for idx in indices:
-        n = int(idx.num)
-        for key, w in existing_rows(np.asarray(idx.e1)[:n],
-                                    np.asarray(idx.e2)[:n],
-                                    np.asarray(idx.dist)[:n],
-                                    np.asarray(idx.weight)[:n]):
-            acc[key] = acc.get(key, 0.0) + w
-    rows = sorted(acc.items())
-    return _rebuild(rows, max((i.capacity for i in indices), default=1))
+    parts = [(np.asarray(i.e1)[:int(i.num)], np.asarray(i.e2)[:int(i.num)],
+              np.asarray(i.dist)[:int(i.num)],
+              np.asarray(i.weight)[:int(i.num)]) for i in indices]
+    e1 = np.concatenate([p[0] for p in parts]).astype(np.int64)
+    e2 = np.concatenate([p[1] for p in parts]).astype(np.int64)
+    d = np.concatenate([p[2] for p in parts]).astype(np.int64)
+    w = np.concatenate([p[3] for p in parts]).astype(np.float64)
+    cap = max((i.capacity for i in indices), default=1)
+    if len(e1) == 0:
+        return _from_arrays(e1, e2, d, w, cap)
+    ks = _KeySpace(max(int(e1.max()), int(e2.max()), 1),
+                   int(d.min()), int(d.max()))
+    comp = ks.key(e1, e2, d)
+    order = np.argsort(comp, kind="stable")
+    comp, e1, e2, d, w = comp[order], e1[order], e2[order], d[order], w[order]
+    first = np.concatenate([[True], comp[1:] != comp[:-1]])
+    gid = np.cumsum(first) - 1
+    wsum = np.zeros(int(gid[-1]) + 1, np.float64)
+    np.add.at(wsum, gid, w)
+    return _from_arrays(e1[first], e2[first], d[first], wsum, cap)

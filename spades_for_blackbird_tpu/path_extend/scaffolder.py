@@ -27,12 +27,17 @@ class ScaffoldParams:
 
 
 def scaffold_paths(g: Graph, ps: PathSet, paired,
-                   params: ScaffoldParams | None = None
+                   params: ScaffoldParams | None = None,
+                   forced_joins: list | None = None
                    ) -> list[list[tuple[int, int]]]:
     """Join paths into scaffolds.
 
     ``paired``: clustered PairedIndex over *forward edge ids* (even
     oriented ids, mapper.normalize_mapping convention).
+
+    ``forced_joins``: pre-committed joins [((i, flip), (j, flip), gap)]
+    from the loop traverser (loop_traverser.cpp joins with a fixed
+    k+100 N gap); applied before paired-evidence joins.
 
     Returns scaffolds as lists of (edge_id, gap_before) — gap_before is
     the N-gap inserted before the edge (0 for the first edge and for
@@ -84,6 +89,12 @@ def scaffold_paths(g: Graph, ps: PathSet, paired,
     used_tail = set()   # path ids whose (oriented) tail is taken
     used_head = set()
     next_of: dict[tuple[int, bool], tuple[tuple[int, bool], int]] = {}
+    for src, dst, gap in (forced_joins or []):
+        if src[0] in used_tail or dst[0] in used_head or src[0] == dst[0]:
+            continue
+        used_tail.add(src[0])
+        used_head.add(dst[0])
+        next_of[src] = (dst, gap)
     for w, src, dst, gap in joins:
         if src[0] in used_tail or dst[0] in used_head:
             continue

@@ -155,6 +155,7 @@ def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
     read conversion) — reverse-complemented here to face downstream.
     """
     import jax.numpy as jnp
+    from ..mapping import chunked
     from ..mapping import index as eidx
     from ..mapping import mapper
     from ..paired import insert_size, pair_info
@@ -177,11 +178,13 @@ def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
         c2rc = dna.revcomp_reads(codes2, lengths2)
         # chain mappings: junction-spanning reads place on EVERY
         # traversed edge (the MappingPath equivalent) — pair filling
-        # uses all edge combinations + split-read adjacency pairs
-        ch1 = mapper.map_reads_multi(idx, g.seq_len, codes1, lengths1,
-                                     k + 1, min_votes=1)
-        ch2 = mapper.map_reads_multi(idx, g.seq_len, c2rc, lengths2,
-                                     k + 1, min_votes=1)
+        # uses all edge combinations + split-read adjacency pairs.
+        # Chunked: big libraries stream through fixed-shape chunks so
+        # the (R, P) vote intermediates stay bounded.
+        ch1 = chunked.map_reads_multi_chunked(
+            idx, g.seq_len, codes1, lengths1, k + 1, min_votes=1)
+        ch2 = chunked.map_reads_multi_chunked(
+            idx, g.seq_len, c2rc, lengths2, k + 1, min_votes=1)
         ch1 = mapper.normalize_chain(ch1, g.conj)
         ch2 = mapper.normalize_chain(ch2, g.conj)
         m1 = first_placement(ch1)
@@ -203,7 +206,7 @@ def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
         if stats.count == 0:
             continue
         mean_l2 = float(np.asarray(lengths2).mean())
-        pi = pair_info.fill_paired_index_multi(
+        pi = pair_info.fill_paired_index_multi_chunked(
             ch1, ch2, jnp.int32(int(round(stats.median - mean_l2))))
         spread = max(5, int(3 * stats.mad))
         if kind == "mp":
@@ -228,12 +231,20 @@ def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
         return (contigs, contigs) if with_scaffolds else contigs
 
     ps = resolver.resolve_paths_multi(g, specs)
+    # tandem-repeat traversal after extension (launcher.cpp:301
+    # TraverseLoops): joins surface as k+100 N gaps in scaffolds
+    from ..path_extend import loop_traverser
+    loop_joins = loop_traverser.traverse_loops(g, ps)
     contigs = resolver.paths_to_contigs(g, ps)
     if not with_scaffolds:
         return contigs
-    from ..path_extend import scaffolder
+    from ..path_extend import polisher, scaffolder
     merged = pair_info.merge_paired_indices(clustered_all)
-    chains = scaffolder.scaffold_paths(g, ps, merged)
+    chains = scaffolder.scaffold_paths(g, ps, merged,
+                                       forced_joins=loop_joins)
+    # gap polishing: unique graph paths replace N runs
+    # (scaffolder2015/path_polisher.cpp)
+    chains, _ = polisher.polish_scaffolds(g, chains)
     scaffolds = scaffolder.scaffolds_to_contigs(g, chains)
     return contigs, scaffolds
 

@@ -55,21 +55,29 @@ def close_gaps(g: Graph, codes1, lengths1, codes2, lengths2,
         return g, 0
 
     idx = eidx.build_edge_index(g, k + 1)
+    from ..mapping import chunked
     c2rc = dna.revcomp_reads(jnp.asarray(codes2), jnp.asarray(lengths2))
-    m1 = mapper.map_reads(idx, g.seq_len, jnp.asarray(codes1),
-                          jnp.asarray(lengths1), k + 1)
-    m2 = mapper.map_reads(idx, g.seq_len, c2rc, jnp.asarray(lengths2), k + 1)
+    m1 = chunked.map_reads_chunked(idx, g.seq_len, jnp.asarray(codes1),
+                                   jnp.asarray(lengths1), k + 1)
+    m2 = chunked.map_reads_chunked(idx, g.seq_len, c2rc,
+                                   jnp.asarray(lengths2), k + 1)
     m1 = mapper.normalize_mapping(m1, g.conj)
     m2 = mapper.normalize_mapping(m2, g.conj)
 
     oe1 = np.asarray(m1.oriented_edge) // 2
     oe2 = np.asarray(m2.oriented_edge) // 2
     ok = np.asarray(m1.mapped) & np.asarray(m2.mapped) & (oe1 != oe2)
-    support: dict[tuple[int, int], int] = {}
-    for e1, e2 in zip(oe1[ok], oe2[ok]):
-        pair = (int(e1), int(e2))
-        if pair[0] in dead_end and pair[1] in dead_start:
-            support[pair] = support.get(pair, 0) + 1
+    is_dead_end = np.zeros(E, bool)
+    is_dead_end[list(dead_end)] = True
+    is_dead_start = np.zeros(E, bool)
+    is_dead_start[list(dead_start)] = True
+    p1, p2 = oe1[ok], oe2[ok]
+    keep = is_dead_end[p1] & is_dead_start[p2]
+    p1, p2 = p1[keep], p2[keep]
+    pairs_arr, counts_arr = np.unique(
+        np.stack([p1, p2], axis=1), axis=0, return_counts=True)
+    support = {(int(a), int(b)): int(c)
+               for (a, b), c in zip(pairs_arr, counts_arr)}
 
     flat = np.asarray(g.seq_flat)
     starts = np.asarray(g.seq_start)

