@@ -74,6 +74,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="metaplasmid/metaviral mode")
     p.add_argument("--rna", action="store_true",
                    help="RNA-seq mode (rnaSPAdes equivalent)")
+    p.add_argument("--iontorrent", action="store_true",
+                   help="IonTorrent data: homopolymer-space error "
+                        "correction (ionhammer)")
     p.add_argument("--sc", action="store_true",
                    help="single-cell (MDA) mode")
     p.add_argument("--series-analysis", dest="series_analysis",

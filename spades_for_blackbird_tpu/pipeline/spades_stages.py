@@ -120,6 +120,27 @@ def make_error_correction(log, k: int = 21, output_dir: str | None = None):
     return Stage("error_correction", run)
 
 
+def make_ion_error_correction(log, output_dir: str | None = None):
+    """IonTorrent homopolymer-space correction (projects/ionhammer,
+    selected by --iontorrent in spades.py options_storage.py)."""
+    def run(ctx: PipelineContext):
+        from ..hammer import ionhammer
+        codes, lengths, stats = ionhammer.correct_reads_ion(
+            ctx.codes, ctx.lengths)
+        log(f"ionhammer: {stats}")
+        ctx.codes = codes
+        ctx.lengths = lengths
+        ctx.params["ionhammer"] = stats
+        if output_dir is not None:
+            from ..io import fastq
+            cdir = os.path.join(output_dir, "corrected")
+            os.makedirs(cdir, exist_ok=True)
+            path = os.path.join(cdir, "corrected.fastq.gz")
+            fastq.write_reads_fastq(path, ctx.codes, ctx.lengths)
+            log(f"wrote {path}")
+    return Stage("error_correction", run)
+
+
 def make_iteration(k: int, log, min_contig_length=None, simplify_cfg=None,
                    name=None, min_kmer_count=1):
     def run(ctx: PipelineContext):
@@ -413,8 +434,12 @@ def build_stage_list(args, ks, log, cfg=None):
         pe_orientation=getattr(args, "pe_orientation", "fr"),
         mp_orientation=getattr(args, "mp_orientation", "rf"))]
     if not args.only_assembler and cfg.correction_enabled:
-        stages.append(make_error_correction(
-            log, output_dir=args.output_dir))
+        if getattr(args, "iontorrent", False):
+            stages.append(make_ion_error_correction(
+                log, output_dir=args.output_dir))
+        else:
+            stages.append(make_error_correction(
+                log, output_dir=args.output_dir))
     if getattr(args, "assembly_graph", None):
         # LoadGraph replaces construction (load_graph.cpp:16-36)
         gfa_path = args.assembly_graph

@@ -59,3 +59,22 @@ def test_homopolymer_run_errors_fixed():
         if got == orig:
             fixed += 1
     assert fixed >= len(bad_reads) - 1, f"{fixed}/{len(bad_reads)}"
+
+
+def test_cli_iontorrent_flag(tmp_path):
+    """--iontorrent routes error correction through ionhammer
+    (options_storage.py iontorrent flag -> ionhammer binary)."""
+    from spades_for_blackbird_tpu import cli
+    genome = genome_with_homopolymers(5)
+    L = 60
+    reads = [genome[i:i + L] for i in range(0, len(genome) - L + 1, 3)]
+    f = tmp_path / "reads.fastq"
+    with open(f, "w") as fh:
+        for i, r in enumerate(reads):
+            fh.write(f"@r{i}\n{r}\n+\n{'I' * len(r)}\n")
+    out = tmp_path / "out"
+    rc = cli.main(["-s", str(f), "-o", str(out), "--iontorrent",
+                   "--only-error-correction"])
+    assert rc == 0
+    log = (out / "spades.log").read_text()
+    assert "ionhammer" in log
