@@ -115,6 +115,72 @@ def align_long_reads(g: Graph, codes, lengths, seed_k: int = 13,
     return out
 
 
+def _graph_path_fill(g: Graph, e1: int, e2: int, read_fill: np.ndarray,
+                     band: int = 48, ed_frac: float = 0.3,
+                     max_paths: int = 8) -> np.ndarray | None:
+    """Bounded graph-path search between e1's end and e2's start whose
+    spelled sequence edit-matches the long read's gap segment
+    (gap_dijkstra.cpp DijkstraGapFiller: SearchState over (vertex,
+    read position) with an edit-distance bound). Enumerates candidate
+    paths within a length window of the read segment, scores them with
+    the banded-DP kernel, and returns the best path's sequence when it
+    clears the bound — else None (caller falls back to read bases)."""
+    import jax.numpy as jnp
+    from ..ops import align as align_ops
+    from ..path_extend.polisher import _paths_between
+
+    alive = np.asarray(edge_mask(g))
+    start_v = np.asarray(g.start_v)
+    end_v = np.asarray(g.end_v)
+    seq_len = np.asarray(g.seq_len)
+    starts = np.asarray(g.seq_start)
+    flat = np.asarray(g.seq_flat)
+    k = g.k
+    out_of: dict[int, list[int]] = {}
+    for e in np.nonzero(alive)[0]:
+        out_of.setdefault(int(start_v[e]), []).append(int(e))
+
+    L = len(read_fill)
+    cands = _paths_between(out_of, end_v, seq_len, k,
+                           int(end_v[e1]), int(start_v[e2]),
+                           max_len=L + max(band, int(0.2 * L)) + k,
+                           max_paths=max_paths)
+    # spell each candidate path's strict interior: every edge
+    # contributes seq[k:] (dropping its shared start k-mer, already
+    # spelled by the predecessor / by e1's tail), and the final k bases
+    # duplicate e2's head k-mer and are dropped too
+    seqs = []
+    for path in cands:
+        if not path:
+            continue
+        s = np.concatenate([flat[starts[m] + k: starts[m] + seq_len[m]]
+                            for m in path])
+        if len(s) < k:
+            continue
+        s = s[:len(s) - k]
+        if abs(len(s) - L) <= max(band, int(0.2 * L)):
+            seqs.append(s)
+    if not seqs:
+        return None
+    B = len(seqs)
+    M = max(max(len(s) for s in seqs), L, 1)
+    ac = np.full((B, M), 4, np.uint8)
+    bc = np.full((B, M), 4, np.uint8)
+    al_ = np.zeros(B, np.int32)
+    bl_ = np.zeros(B, np.int32)
+    for i, s in enumerate(seqs):
+        ac[i, :len(s)] = s
+        al_[i] = len(s)
+        bc[i, :L] = read_fill
+        bl_[i] = L
+    d = np.asarray(align_ops.banded_edit_distance(
+        jnp.asarray(ac), al_, jnp.asarray(bc), bl_, band=band))
+    best = int(np.argmin(d))
+    if d[best] <= ed_frac * max(L, 1):
+        return seqs[best]
+    return None
+
+
 def hybrid_close_gaps(g: Graph, codes, lengths, seed_k: int = 13,
                       min_bridges: int = 2, band: int = 48,
                       max_fill: int = 2000) -> tuple[Graph, int]:
@@ -179,7 +245,13 @@ def hybrid_close_gaps(g: Graph, codes, lengths, seed_k: int = 13,
             agree += int(np.sum(d <= 0.35 * np.maximum(len(ref), bl_)))
         if agree < min_bridges:
             continue
-        joins.append((e1, e2, ref))
+        # graph-path gap search (the GAligner's gap Dijkstra,
+        # modules/alignment/pacbio/gap_dijkstra.cpp): if a graph path
+        # between the edges spells (within an edit-distance bound) the
+        # read's gap segment, fill with the GRAPH sequence — assembled
+        # bases instead of the error-prone long-read bases
+        path_fill = _graph_path_fill(g, e1, e2, ref, band=band)
+        joins.append((e1, e2, ref if path_fill is None else path_fill))
         used.update({e1, e2, int(conj[e1]), int(conj[e2])})
 
     if not joins:

@@ -295,10 +295,16 @@ def _from_arrays(e1, e2, d, w, capacity):
 
 def improve_pair_info(idx: PairedIndex, max_spread: int = 10,
                       weight_coeff: float = 0.5) -> PairedIndex:
-    """Transitive improvement (paired_info/pair_info_improver.hpp):
-    (A,B,d1) + (B,C,d2) implies (A,C,d1+d2); missing implied points are
-    added with weight ``weight_coeff * min(w1, w2)``, existing nearby
-    points (within ``max_spread``) are left alone.
+    """Aggressive transitive closure: (A,B,d1) + (B,C,d2) implies
+    (A,C,d1+d2); missing implied points are added with weight
+    ``weight_coeff * min(w1, w2)``, existing nearby points (within
+    ``max_spread``) are left alone.
+
+    NOTE: this is NOT the reference improver's FillMissing — that only
+    derives points along forced graph paths (see :func:`split_path_fill`,
+    which the pipeline uses). Blind transitive joins through a repeat
+    edge B fabricate cross-copy links (A -> B(copy1), B(copy2) -> C
+    implies a false A -> C) and are only safe on repeat-free graphs.
 
     Host-side but fully vectorized: the B-join is a sorted-array
     range join (searchsorted + repeat), the near-existing check a
@@ -362,6 +368,137 @@ def improve_pair_info(idx: PairedIndex, max_spread: int = 10,
     E2 = np.concatenate([e2, c])
     D = np.concatenate([d, dd])
     W = np.concatenate([w, ww])
+    order = np.argsort(ks.key(E1, E2, D), kind="stable")
+    return _from_arrays(E1[order], E2[order], D[order], W[order],
+                        idx.capacity)
+
+
+def split_path_fill(g, idx: PairedIndex, is_mean: float, is_dev: float,
+                    max_spread: int = 10,
+                    weight_coeff: float = 0.5) -> PairedIndex:
+    """Split-path pair-info derivation (the FillMissing half of the
+    reference's PairInfoImprover, pair_info_improver.hpp:215 +
+    split_path_constructor.hpp:74 ConvertPIToSplitPaths): a point
+    (e1, e2, d) implies points (e1, m, d - dist(m..e2)) for every edge
+    ``m`` on the common suffix that ALL e1->e2 paths of length ~d must
+    traverse. The common suffix is the unique-predecessor chain walked
+    back from e2 (bounded by the insert-size path upper bound).
+
+    Host-side over the clustered index (one row per nearby edge pair);
+    vectorized dedup/merge via the same machinery as improve_pair_info.
+    """
+    import numpy as np
+    from ..graph.graph import edge_mask
+
+    n = int(idx.num)
+    if n == 0:
+        return idx
+    alive = np.asarray(edge_mask(g))
+    start_v = np.asarray(g.start_v)
+    end_v = np.asarray(g.end_v)
+    seq_len = np.asarray(g.seq_len)
+    k = g.k
+    len_k = seq_len - k
+    in_of: dict[int, list[int]] = {}
+    for e in np.nonzero(alive)[0]:
+        in_of.setdefault(int(end_v[e]), []).append(int(e))
+
+    e1 = np.asarray(idx.e1)[:n]
+    e2 = np.asarray(idx.e2)[:n]
+    d = np.asarray(idx.dist)[:n]
+    w = np.asarray(idx.weight)[:n]
+    upper = int(is_mean + 2 * max(is_dev, 1.0))  # PairInfoPathLengthUpperBound
+
+    out_of: dict[int, list[int]] = {}
+    for e in np.nonzero(alive)[0]:
+        out_of.setdefault(int(start_v[e]), []).append(int(e))
+
+    import heapq
+    dij_cache: dict[int, dict[int, int]] = {}
+
+    def reach_from(src_v: int) -> dict[int, int]:
+        """Bounded Dijkstra vertex distances from ``src_v`` (the
+        reference's CreateBoundedDijkstra run from EdgeEnd(e1))."""
+        got = dij_cache.get(src_v)
+        if got is not None:
+            return got
+        best = {src_v: 0}
+        q = [(0, src_v)]
+        while q:
+            dist, v = heapq.heappop(q)
+            if dist > best.get(v, 1 << 30):
+                continue
+            for e in out_of.get(v, []):
+                nd = dist + int(len_k[e])
+                t = int(end_v[e])
+                if nd <= upper and nd < best.get(t, 1 << 30):
+                    best[t] = nd
+                    heapq.heappush(q, (nd, t))
+        dij_cache[src_v] = best
+        return best
+
+    add_e1, add_e2, add_d, add_w = [], [], [], []
+    for i in range(n):
+        a, b, dd, ww = int(e1[i]) // 2, int(e2[i]) // 2, int(d[i]), w[i]
+        if dd <= 0 or a == b or dd > upper:
+            continue
+        # walk back from e2 through the predecessors every a->b path of
+        # length ~dd must traverse: candidate predecessors are filtered
+        # by reachability from end(e1) (GetCommonPathsEnd semantics)
+        reach = reach_from(int(end_v[a]))
+        total = 0
+        v = int(start_v[b])
+        if v not in reach:
+            continue
+        while True:
+            ins = [m for m in in_of.get(v, [])
+                   if int(start_v[m]) in reach
+                   and reach[int(start_v[m])] + int(len_k[m]) + total
+                   <= dd + 2 * int(max(is_dev, 1.0))]
+            if len(ins) != 1:
+                break
+            m = ins[0]
+            total += int(len_k[m])
+            if total >= dd or m == a:
+                break
+            add_e1.append(2 * a)
+            add_e2.append(2 * m)
+            add_d.append(dd - total)
+            add_w.append(weight_coeff * ww)
+            v = int(start_v[m])
+    if not add_e1:
+        return idx
+    # merge derived points, but never override nearby existing evidence:
+    # drop candidates with an existing point within max_spread first
+    a = np.asarray(add_e1, np.int64)
+    c = np.asarray(add_e2, np.int64)
+    dd = np.asarray(add_d, np.int64)
+    ww = np.asarray(add_w, np.float64)
+    e1a = e1.astype(np.int64)
+    e2a = e2.astype(np.int64)
+    da = d.astype(np.int64)
+    ks = _KeySpace(max(int(e1a.max()), int(e2a.max()), int(a.max()),
+                       int(c.max()), 1),
+                   min(int(da.min()), int(dd.min()) - max_spread),
+                   max(int(da.max()), int(dd.max()) + max_spread))
+    comp_exist = ks.key(e1a, e2a, da)
+    pos = np.searchsorted(comp_exist, ks.key(a, c, dd - max_spread))
+    near = (pos < n) & (comp_exist[np.minimum(pos, n - 1)]
+                        <= ks.key(a, c, dd + max_spread))
+    a, c, dd, ww = a[~near], c[~near], dd[~near], ww[~near]
+    if len(a) == 0:
+        return idx
+    # dedup derived candidates by (a, c, dd), keep max weight
+    comp_new = ks.key(a, c, dd)
+    order = np.lexsort((-ww, comp_new))
+    comp_new, a, c, dd, ww = (comp_new[order], a[order], c[order],
+                              dd[order], ww[order])
+    first = np.concatenate([[True], comp_new[1:] != comp_new[:-1]])
+    a, c, dd, ww = a[first], c[first], dd[first], ww[first]
+    E1 = np.concatenate([e1a, a])
+    E2 = np.concatenate([e2a, c])
+    D = np.concatenate([da, dd])
+    W = np.concatenate([w.astype(np.float64), ww])
     order = np.argsort(ks.key(E1, E2, D), kind="stable")
     return _from_arrays(E1[order], E2[order], D[order], W[order],
                         idx.capacity)

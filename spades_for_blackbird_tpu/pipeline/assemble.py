@@ -216,6 +216,13 @@ def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
                 pi, jnp.int32(max(spread, 20)), jnp.float32(2.0))
         else:
             clustered = pair_info.cluster_distances(pi, jnp.int32(spread))
+            # PairInfoImprover's FillMissing on the clustered PE index
+            # (distance_estimation.cpp:161 + pair_info_improver.hpp:215):
+            # split-path derivation along forced path suffixes only — a
+            # blind transitive join would fabricate cross-repeat links
+            clustered = pair_info.split_path_fill(
+                g, clustered, float(stats.median),
+                float(stats.deviation))
         read_length = int(max(np.asarray(lengths1).max(initial=0),
                               np.asarray(lengths2).max(initial=0)))
         share = float(np.asarray(lengths1).sum()

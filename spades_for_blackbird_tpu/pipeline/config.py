@@ -81,8 +81,14 @@ def _metaplasmid(cfg: AssemblyConfig) -> AssemblyConfig:
 
 def _rna(cfg: AssemblyConfig) -> AssemblyConfig:
     # rna_mode.info: K ladder [33, 49] (options_storage.py K_MERS_RNA),
-    # strand-specific coverage machinery + superbubble collapse
-    simp = replace(cfg.simplify, superbubble_enabled=True)
+    # strand-specific coverage machinery + superbubble collapse;
+    # tip condition "{ mmm 3 tc_lb 4, cb 100000, rctc 0.5 }
+    # { tc_lb 2, cb 1, rctc 10000 }" (rna_mode.info:56) and the
+    # low-complexity AT edge/tip clippers (rna_simplification.hpp)
+    simp = replace(cfg.simplify, superbubble_enabled=True,
+                   tip_clauses=((4.0, 100000.0, 0.5, 3.0),
+                                (2.0, 1.0, 10000.0)),
+                   low_complexity_enabled=True)
     return replace(cfg, mode="rna", ks=cfg.ks or [33, 49],
                    strand_specific=True, simplify=simp)
 

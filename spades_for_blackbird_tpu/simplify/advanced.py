@@ -731,3 +731,101 @@ def remove_hidden_ec(g: Graph, v_space: int, *,
                 n += 1
     gg, vs = hv.to_graph()
     return gg, vs, n
+
+
+def mismatch_tip_mask(g: Graph, v_space: int, max_diff: float
+                      ) -> np.ndarray:
+    """MismatchTipCondition (tip_clipper.hpp:105-150): edge e (or its
+    conjugate) has a LONGER sibling out-edge from the same start vertex
+    whose bases agree with e everywhere past the shared k-mer except at
+    most ``max_diff`` positions (an absolute count when >= 1, else a
+    fraction of e's k-mer length). These tips are sequencing mismatches
+    near read ends — the condition rna mode conjoins into its first tip
+    clause (rna_mode.info tc condition "mmm 3 ...")."""
+    hv = HostGraph(g, v_space)
+    flat = np.asarray(g.seq_flat)
+    starts = hv.seq_start
+    lens = hv.seq_len
+    k = hv.k
+
+    def seq(e):
+        return flat[starts[e]:starts[e] + lens[e]]
+
+    def inner(e: int) -> bool:
+        le = int(lens[e])
+        bound = max_diff if max_diff >= 1.0 else max_diff * hv.len_k(e)
+        bound = int(round(bound))
+        se = None
+        for alt in hv.out_edges(int(hv.start_v[e])):
+            if alt == e or lens[alt] <= le:
+                continue
+            if se is None:
+                se = seq(e)
+            diffs = int(np.sum(se[k:le] != seq(alt)[k:le]))
+            if diffs <= bound:
+                return True
+        return False
+
+    mask = np.zeros(len(hv.alive), bool)
+    for e in np.nonzero(hv.alive)[0]:
+        e = int(e)
+        if inner(e) or inner(int(hv.conj[e])):
+            mask[e] = True
+    return mask
+
+
+def _max_base_fraction(flat, start, lo, hi) -> float:
+    s = flat[start + lo:start + hi]
+    if len(s) == 0:
+        return 0.0
+    return float(np.bincount(s, minlength=4)[:4].max()) / len(s)
+
+
+def clip_low_complexity_tips(g: Graph, v_space: int,
+                             max_len: int = 200,
+                             max_frac: float = 0.8
+                             ) -> tuple[Graph, int, int]:
+    """LowComplexityTipClipper (rna_simplification.hpp:10): tips of
+    length <= max_len whose sequence (minus the shared junction k-mer)
+    is dominated by one base (ATCondition(0.8, check_tip=true)) — the
+    poly-A/poly-T artifact clipper of rnaSPAdes."""
+    hv = HostGraph(g, v_space)
+    flat = np.asarray(g.seq_flat)
+    n = 0
+    for e in np.nonzero(hv.alive)[0]:
+        e = int(e)
+        if hv.len_k(e) > max_len:
+            continue
+        lo, hi = 0, int(hv.seq_len[e])
+        if not hv.out_edges(int(hv.end_v[e])):
+            lo = hv.k
+        elif not hv.in_edges(int(hv.start_v[e])):
+            hi = hi - hv.k
+        else:
+            continue
+        if _max_base_fraction(flat, int(hv.seq_start[e]), lo, hi) \
+                > max_frac:
+            hv.kill(e)
+            n += 1
+    g2, vs = hv.to_graph()
+    return g2, vs, n
+
+
+def remove_low_complexity_short_edges(g: Graph, v_space: int,
+                                      max_frac: float = 0.8
+                                      ) -> tuple[Graph, int, int]:
+    """LowComplexityShortEdgeRemover (rna_simplification.hpp:18):
+    1-k-mer edges dominated by one base, tip or not."""
+    hv = HostGraph(g, v_space)
+    flat = np.asarray(g.seq_flat)
+    n = 0
+    for e in np.nonzero(hv.alive)[0]:
+        e = int(e)
+        if hv.len_k(e) > 1:
+            continue
+        if _max_base_fraction(flat, int(hv.seq_start[e]), 0,
+                              int(hv.seq_len[e])) > max_frac:
+            hv.kill(e)
+            n += 1
+    g2, vs = hv.to_graph()
+    return g2, vs, n

@@ -77,7 +77,8 @@ def _seg_max_excl_self(cov: jax.Array, seg: jax.Array,
 @functools.partial(jax.jit, static_argnames=("v_space",))
 def clip_tips(g: Graph, v_space: int, length_bound: jax.Array,
               coverage_bound: jax.Array,
-              relative_coverage: jax.Array) -> Graph:
+              relative_coverage: jax.Array,
+              require: jax.Array | None = None) -> Graph:
     """Remove short dead-end edges (tip_clipper.hpp:71 TipCondition +
     RelativeCoverageTipCondition:21), reference-exact:
 
@@ -104,6 +105,9 @@ def clip_tips(g: Graph, v_space: int, length_bound: jax.Array,
     kill = m & dead_end & has_alt & \
         (len_kmers <= length_bound) & (g.cov <= coverage_bound) & \
         (g.cov <= relative_coverage * (competitor + 1.0))
+    if require is not None:
+        # extra conjunct (e.g. the rna mmm mismatch-tip condition)
+        kill = kill & require
     return _delete(g, kill)
 
 

@@ -39,6 +39,9 @@ class SimplifyConfig:
     tip_clauses: tuple = ((1.5, 1.5, 2.0), (2.0, 1.5, None))
     # final tip clipper clauses
     final_tip_clauses: tuple = ((1.5, 3.0, 2.0), (4.0, None, None))
+    # rna low-complexity clippers (rna_simplification.hpp: AT edges
+    # early, AT tips in post-simplification)
+    low_complexity_enabled: bool = False
     # bulge remover (br)
     bulge_length_coeff: float = 3.0
     bulge_len_additive: int = 100   # max_additive_length_coefficient
@@ -101,12 +104,21 @@ def _tip_length(k: int, read_length: int, lb: float) -> int:
 
 def _clip_tips_clauses(g: Graph, v_space: int, clauses, k: int,
                        read_length: int, auto_cb: float) -> Graph:
-    for lb, cb, rctc in clauses:
+    for clause in clauses:
+        # 3-tuple (lb, cb, rctc) or 4-tuple with the rna mmm conjunct
+        lb, cb, rctc = clause[:3]
+        mmm = clause[3] if len(clause) > 3 else None
         length = _tip_length(k, read_length, lb)
         cov_bound = auto_cb if cb is None else cb
         rel = 1e18 if rctc is None else rctc
+        require = None
+        if mmm is not None:
+            from . import advanced
+            require = jnp.asarray(
+                advanced.mismatch_tip_mask(g, v_space, mmm))
         g = passes.clip_tips(g, v_space, jnp.int32(length),
-                             jnp.float32(cov_bound), jnp.float32(rel))
+                             jnp.float32(cov_bound), jnp.float32(rel),
+                             require=require)
     return g
 
 
@@ -151,6 +163,14 @@ def simplify_graph(g: Graph, v_space: int, ec_bound: float,
     # --- post-simplification (PostSimplification order,
     # stages/simplification.cpp:230-330) ---
     from . import advanced
+
+    if cfg.low_complexity_enabled:
+        # rna "AT edges" + "AT Tips" (simplification.cpp:113,302)
+        g, v_space, n1 = advanced.remove_low_complexity_short_edges(
+            g, v_space)
+        g, v_space, n2 = advanced.clip_low_complexity_tips(g, v_space)
+        if n1 or n2:
+            g = recondense(g, v_space)
 
     if cfg.rcc_enabled:
         # edge-level relative EC pre-pass (rcec-like), then the faithful

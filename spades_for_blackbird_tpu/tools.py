@@ -350,6 +350,31 @@ def cmd_unitig_coverage(argv):
     return 0
 
 
+def cmd_edge_positions(argv):
+    """Edge positions in named reference sequences: the
+    EdgePositionHandler dump (handlers/edges_position_handler.hpp:22,
+    developer-mode detail printers)."""
+    p = argparse.ArgumentParser(prog="edge-positions")
+    p.add_argument("graph_gfa")
+    p.add_argument("reference", help="FASTA of named sequences")
+    p.add_argument("-o", "--output", default="-")
+    a = p.parse_args(argv)
+    from .graph.from_gfa import graph_from_gfa
+    from .graph import positions as pos_mod
+    g, names = graph_from_gfa(a.graph_gfa, return_names=True)
+    rnames, rseqs = _read_fasta(a.reference)
+    seqs = dict(zip(rnames, rseqs))
+    lines = pos_mod.positions_table(g, seqs)
+    rename = {e: n for e, n in names.items()}
+    out = sys.stdout if a.output == "-" else open(a.output, "w")
+    for line in lines:
+        e, rest = line.split("\t", 1)
+        out.write(f"{rename.get(int(e), e)}\t{rest}\n")
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
 def cmd_cds_subgraphs(argv):
     """CDS subgraph extraction by profile HMM
     (projects/cds_subgraphs/subgraph_extraction.cpp): find domain hits on
@@ -560,6 +585,7 @@ TOOLS = {
     "bin-converter": cmd_bin_converter,
     "corrector": cmd_corrector,
     "truspades": cmd_truspades,
+    "edge-positions": cmd_edge_positions,
 }
 
 

@@ -14,8 +14,17 @@ _DEFAULT = os.path.join(os.path.dirname(os.path.dirname(
 
 
 def enable_compilation_cache(path: str | None = None) -> str:
-    """Idempotently turn on the JAX persistent compilation cache."""
+    """Idempotently turn on the JAX persistent compilation cache.
+
+    TPU backend only: XLA:CPU persists AOT machine code keyed without
+    the host's CPU feature set, so an entry written on one machine can
+    SIGSEGV when deserialized on another (observed with
+    +prefer-no-scatter entries). CPU compiles are fast; the cache only
+    pays for itself against the 60-300 s tunneled TPU compile service.
+    """
     import jax
+    if jax.default_backend() not in ("tpu", "axon"):
+        return ""
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR", _DEFAULT)
     os.makedirs(path, exist_ok=True)
     try:

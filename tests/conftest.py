@@ -14,6 +14,11 @@ import sys
 # overriding the config before the first device use still forces CPU.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
+# The axon remote-compile service must not serve CPU compiles: its host
+# has a different CPU feature set (AMX/+prefer-no-scatter), and loading
+# its XLA:CPU AOT artifacts here intermittently SIGSEGVs
+# (cpu_aot_loader feature-mismatch warnings precede the crash).
+os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

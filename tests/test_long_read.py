@@ -107,3 +107,63 @@ def test_gmapper_tool(tmp_path):
     lines = [l for l in open(out) if not l.startswith("#")]
     assert len(lines) == 1
     assert "\t" in lines[0]
+
+
+def test_graph_path_fill_prefers_graph_bases():
+    """gap_dijkstra.cpp equivalent: when a graph path spells the read's
+    gap segment within the edit bound, the fill uses graph bases (the
+    read's sequencing errors do not leak into the assembly)."""
+    import numpy as np
+    from spades_for_blackbird_tpu.graph import condense
+    from spades_for_blackbird_tpu.graph.graph import compact_graph, edge_mask
+    from spades_for_blackbird_tpu.kmers import counter, extension
+    from spades_for_blackbird_tpu.mapping.long_read import _graph_path_fill
+    from spades_for_blackbird_tpu.ops import dna
+
+    K = 21
+    rng = np.random.default_rng(31)
+    a = "".join(rng.choice(list("ACGT"), size=300))
+    m = "".join(rng.choice(list("ACGT"), size=150))
+    b = "".join(rng.choice(list("ACGT"), size=300))
+    flip = {"A": "C", "C": "G", "G": "T", "T": "A"}
+    alt1 = a[-40:] + "".join(flip[c] for c in m[:20])
+    alt2 = "".join(flip[c] for c in m[-20:]) + b[:40]
+    genome = a + m + b
+    reads = [genome[i:i + 60]
+             for i in range(0, len(genome) - 60 + 1)] + [alt1, alt2] * 3
+    codes, lengths = dna.encode_reads(reads)
+    kp1 = counter.count_kmers(codes, lengths, K + 1)
+    vt = extension.build_vertex_table(kp1, K)
+    g = condense.build_graph(kp1, vt, K)
+    g, _ = compact_graph(g)
+
+    alive = np.asarray(edge_mask(g))
+    sv = np.asarray(g.start_v)
+    ev = np.asarray(g.end_v)
+    ln = np.asarray(g.seq_len)
+    starts = np.asarray(g.seq_start)
+    flat = np.asarray(g.seq_flat)
+    ids = [int(e) for e in np.nonzero(alive)[0]]
+    triple = None
+    for eA in ids:
+        for eM in ids:
+            if eM == eA or int(ev[eA]) != int(sv[eM]) or ln[eM] > 250 \
+                    or ln[eM] < 100:
+                continue
+            for eB in ids:
+                if eB not in (eA, eM) and int(ev[eM]) == int(sv[eB]):
+                    triple = (eA, eM, eB)
+                    break
+            if triple:
+                break
+        if triple:
+            break
+    assert triple
+    eA, eM, eB = triple
+    truth = flat[starts[eM] + K: starts[eM] + ln[eM] - K].copy()
+    noisy = truth.copy()
+    noisy[5] = (noisy[5] + 1) % 4   # two long-read errors
+    noisy[20] = (noisy[20] + 2) % 4
+    fill = _graph_path_fill(g, eA, eB, noisy)
+    assert fill is not None
+    np.testing.assert_array_equal(fill, truth)

@@ -72,3 +72,65 @@ def test_improver_respects_existing_points():
     got = rows_of(out)
     # implied (0,4,300) is within 10 of existing 295 -> not added
     assert len([r for r in got if r[:2] == (0, 4)]) == 1
+
+
+def test_split_path_fill_derives_interior_points():
+    """split_path_constructor.hpp:74: (e1, e2, d) on a forced chain
+    e1 -> m -> e2 implies (e1, m, d - len_k(m))."""
+    import jax.numpy as jnp
+    import numpy as np
+    from spades_for_blackbird_tpu.graph import condense
+    from spades_for_blackbird_tpu.graph.graph import compact_graph, edge_mask
+    from spades_for_blackbird_tpu.kmers import counter, extension
+    from spades_for_blackbird_tpu.ops import dna
+    from spades_for_blackbird_tpu.paired import pair_info
+
+    K = 21
+    rng = np.random.default_rng(9)
+    a = "".join(rng.choice(list("ACGT"), size=300))
+    m = "".join(rng.choice(list("ACGT"), size=120))
+    b = "".join(rng.choice(list("ACGT"), size=300))
+    flip = {"A": "C", "C": "G", "G": "T", "T": "A"}
+    alt1 = a[-40:] + "".join(flip[c] for c in m[:20])
+    alt2 = "".join(flip[c] for c in m[-20:]) + b[:40]
+    genome = a + m + b
+    reads = [genome[i:i + 60]
+             for i in range(0, len(genome) - 60 + 1)] + [alt1, alt2] * 3
+    codes, lengths = dna.encode_reads(reads)
+    kp1 = counter.count_kmers(codes, lengths, K + 1)
+    vt = extension.build_vertex_table(kp1, K)
+    g = condense.build_graph(kp1, vt, K)
+    g, _ = compact_graph(g)
+
+    alive = np.asarray(edge_mask(g))
+    sv = np.asarray(g.start_v)
+    ev = np.asarray(g.end_v)
+    ln = np.asarray(g.seq_len)
+    ids = [int(e) for e in np.nonzero(alive)[0]]
+    triple = None
+    for eA in ids:
+        for eM in ids:
+            if eM == eA or int(ev[eA]) != int(sv[eM]) or ln[eM] > 200:
+                continue
+            for eB in ids:
+                if eB not in (eA, eM) and int(ev[eM]) == int(sv[eB]):
+                    triple = (eA, eM, eB)
+                    break
+            if triple:
+                break
+        if triple:
+            break
+    assert triple
+    eA, eM, eB = triple
+    d = int(ln[eA]) + int(ln[eM]) - 2 * K  # start-to-start in k-mers
+    idx = pair_info.PairedIndex(
+        e1=jnp.asarray([2 * eA], jnp.int32),
+        e2=jnp.asarray([2 * eB], jnp.int32),
+        dist=jnp.asarray([d], jnp.int32),
+        weight=jnp.asarray([8.0], jnp.float32),
+        num=jnp.int32(1))
+    out = pair_info.split_path_fill(g, idx, is_mean=d + 60, is_dev=10.0)
+    n = int(out.num)
+    rows = {(int(out.e1[i]), int(out.e2[i]), int(out.dist[i]))
+            for i in range(n)}
+    assert (2 * eA, 2 * eM, d - (int(ln[eM]) - K)) in rows

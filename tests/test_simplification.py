@@ -139,3 +139,71 @@ def test_full_runner_cleans_noisy_reads():
     cfg = runner.SimplifyConfig(read_length=60, rounds=4)
     g = runner.simplify_graph(g, v_space, ec_bound=2.0, cfg=cfg)
     assert edge_set(g) == {genome, nd.rc(genome)}
+
+
+def _build_graph_for(reads, k=21):
+    from spades_for_blackbird_tpu.graph import condense
+    from spades_for_blackbird_tpu.graph.graph import compact_graph
+    from spades_for_blackbird_tpu.kmers import counter, extension
+    from spades_for_blackbird_tpu.ops import dna
+    codes, lengths = dna.encode_reads(reads)
+    kp1 = counter.count_kmers(codes, lengths, k + 1)
+    vt = extension.build_vertex_table(kp1, k)
+    g = condense.build_graph(kp1, vt, k)
+    g, vs = compact_graph(g)
+    return g, vs
+
+
+def test_mismatch_tip_condition_mask():
+    """MismatchTipCondition (tip_clipper.hpp:105): a dead-end edge whose
+    bases match a longer sibling except for <= max_diff mismatches."""
+    import numpy as np
+    from spades_for_blackbird_tpu.graph.graph import edge_mask
+    from spades_for_blackbird_tpu.simplify import advanced
+
+    rng = np.random.default_rng(17)
+    a = "".join(rng.choice(list("ACGT"), size=200))
+    b = "".join(rng.choice(list("ACGT"), size=200))
+    main = a + b
+    # tip: diverges from b by 2 mismatches, then stops short
+    tip_seq = list(b[:60])
+    tip_seq[40] = {"A": "C", "C": "G", "G": "T", "T": "A"}[tip_seq[40]]
+    tip_seq[50] = {"A": "C", "C": "G", "G": "T", "T": "A"}[tip_seq[50]]
+    tip = a[-40:] + "".join(tip_seq)
+    reads = [main[i:i + 60] for i in range(0, len(main) - 60 + 1)] + \
+        [tip[i:i + 60] for i in range(0, len(tip) - 60 + 1, 5)]
+    g, vs = _build_graph_for(reads)
+    mask = advanced.mismatch_tip_mask(g, vs, 3.0)
+    alive = np.asarray(edge_mask(g))
+    lens = np.asarray(g.seq_len)
+    # the short mismatch tip is flagged; the long main edges are not
+    flagged = [int(lens[e]) for e in np.nonzero(mask & alive)[0]]
+    assert flagged, "mismatch tip not flagged"
+    assert max(flagged) < 150
+    mask0 = advanced.mismatch_tip_mask(g, vs, 1.0)
+    assert not (mask0 & alive).any(), "bound 1 must not flag 2-diff tip"
+
+
+def test_low_complexity_tip_clipped():
+    """LowComplexityTipClipper (rna_simplification.hpp:10): poly-A tips
+    go, normal tips of the same shape stay."""
+    import numpy as np
+    from spades_for_blackbird_tpu.graph.graph import edge_mask
+    from spades_for_blackbird_tpu.simplify import advanced
+
+    rng = np.random.default_rng(23)
+    a = "".join(rng.choice(list("ACGT"), size=200))
+    b = "".join(rng.choice(list("ACGT"), size=200))
+    main = a + b
+    # A-rich but aperiodic (a pure poly-A run would collapse into a
+    # self-loop k-mer, not a tip)
+    polya_tip = a[-40:] + "".join(rng.choice(
+        list("ACGT"), size=60, p=[0.88, 0.04, 0.04, 0.04]))
+    reads = [main[i:i + 60] for i in range(0, len(main) - 60 + 1)] + \
+        [polya_tip[i:i + 60] for i in range(0, len(polya_tip) - 60 + 1, 5)]
+    g, vs = _build_graph_for(reads)
+    before = int(np.asarray(edge_mask(g)).sum())
+    g2, vs2, n = advanced.clip_low_complexity_tips(g, vs)
+    assert n >= 1
+    after = int(np.asarray(edge_mask(g2)).sum())
+    assert after < before

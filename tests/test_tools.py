@@ -91,3 +91,30 @@ def test_gsimplifier(reads_file, tmp_path):
 
 def test_unknown_tool():
     assert tools.main(["bogus"]) == 2
+
+
+def test_edge_positions_tool(tmp_path):
+    """EdgePositionHandler equivalent (edges_position_handler.hpp:22):
+    reference positions recovered per edge as colinear ranges."""
+    import numpy as np
+    from spades_for_blackbird_tpu.graph import condense, positions
+    from spades_for_blackbird_tpu.graph.graph import compact_graph, edge_mask
+    from spades_for_blackbird_tpu.kmers import counter, extension
+    from spades_for_blackbird_tpu.ops import dna
+
+    K = 21
+    rng = np.random.default_rng(41)
+    genome = "".join(rng.choice(list("ACGT"), size=600))
+    reads = [genome[i:i + 60] for i in range(0, 540, 2)]
+    codes, lengths = dna.encode_reads(reads)
+    kp1 = counter.count_kmers(codes, lengths, K + 1)
+    vt = extension.build_vertex_table(kp1, K)
+    g = condense.build_graph(kp1, vt, K)
+    g, _ = compact_graph(g)
+    pos = positions.fill_edge_positions(g, {"ref": genome})
+    # a single-unitig graph: one edge (or its conjugate) covers the
+    # whole reference in one colinear range
+    assert pos, "no positions recovered"
+    spans = [(r.seq_start, r.seq_end) for rs in pos.values() for r in rs]
+    best = max(spans, key=lambda se: se[1] - se[0])
+    assert best[0] == 0 and best[1] >= len(genome) - 2
