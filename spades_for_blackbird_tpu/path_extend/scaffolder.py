@@ -28,7 +28,8 @@ class ScaffoldParams:
 
 def scaffold_paths(g: Graph, ps: PathSet, paired,
                    params: ScaffoldParams | None = None,
-                   forced_joins: list | None = None
+                   forced_joins: list | None = None,
+                   sg_out: dict | None = None
                    ) -> list[list[tuple[int, int]]]:
     """Join paths into scaffolds.
 
@@ -43,17 +44,27 @@ def scaffold_paths(g: Graph, ps: PathSet, paired,
     the N-gap inserted before the edge (0 for the first edge and for
     graph-adjacent edges).
     """
+    from . import scaffold_graph as sgmod
     if params is None:
         params = ScaffoldParams()
-    seq_len = np.asarray(g.seq_len)
     conj = np.asarray(g.conj)
     k = g.k
 
-    n = int(paired.num)
-    e1 = np.asarray(paired.e1)[:n] // 2
-    e2 = np.asarray(paired.e2)[:n] // 2
-    dist = np.asarray(paired.dist)[:n]
-    weight = np.asarray(paired.weight)[:n]
+    # explicit scaffold graph (scaffolder2015): the paired connection
+    # condition yields the candidate-join records; joins below consume
+    # the graph's edge table. closure=False: each pair observation is
+    # already canonical here, and the endpoint maps consider both path
+    # orientations.
+    records = sgmod.paired_connection_records(
+        g, paired, 0, min_weight=params.min_weight, left_delta=k,
+        right_delta=params.max_gap, closure=False)
+    sg = sgmod.build_scaffold_graph(g, [records])
+    if sg_out is not None:
+        # the full (conjugate-closed, adjacency-annotated) structure,
+        # as PrintScaffoldGraph dumps it (launcher.cpp:85)
+        sg_out["graph"] = sgmod.scaffold_graph_from_paired(
+            g, [paired], min_weight=params.min_weight,
+            max_gap=params.max_gap)
 
     paths = [list(p) for p in ps.paths]
 
@@ -71,19 +82,13 @@ def scaffold_paths(g: Graph, ps: PathSet, paired,
             first_of.setdefault(op[0], (i, flip))
 
     joins = []
-    for j in range(n):
-        a, b = int(e1[j]), int(e2[j])
-        if weight[j] < params.min_weight or a == b:
-            continue
-        # a precedes b on the forward strand; gap = d - len(a) + k (the
-        # conjugate view gives the same value)
-        gap = int(dist[j]) - int(seq_len[a]) + k
-        if not (-k <= gap <= params.max_gap):
-            continue
+    for j in range(sg.edge_count):
+        a, b = int(sg.src[j]), int(sg.dst[j])
         if a in last_of and b in first_of:
             (i, fi), (jdx, fj) = last_of[a], first_of[b]
             if i != jdx:
-                joins.append((float(weight[j]), (i, fi), (jdx, fj), gap))
+                joins.append((float(sg.weight[j]), (i, fi), (jdx, fj),
+                              int(sg.gap[j])))
 
     joins.sort(key=lambda t: -t[0])
     used_tail = set()   # path ids whose (oriented) tail is taken

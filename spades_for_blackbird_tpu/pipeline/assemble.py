@@ -142,7 +142,8 @@ def repeat_resolution(g, codes1, lengths1, codes2, lengths2,
 
 
 def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
-                            lib_data_out: list | None = None):
+                            lib_data_out: list | None = None,
+                            scaffold_graph_out: dict | None = None):
     """Per-library repeat resolution (pair_info_count.cpp:186-230 +
     extenders_logic.cpp per-lib extender construction): each library
     gets its OWN insert-size estimate, paired-index shift and distance
@@ -248,7 +249,8 @@ def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
     from ..path_extend import polisher, scaffolder
     merged = pair_info.merge_paired_indices(clustered_all)
     chains = scaffolder.scaffold_paths(g, ps, merged,
-                                       forced_joins=loop_joins)
+                                       forced_joins=loop_joins,
+                                       sg_out=scaffold_graph_out)
     # gap polishing: unique graph paths replace N runs
     # (scaffolder2015/path_polisher.cpp)
     chains, _ = polisher.polish_scaffolds(g, chains)

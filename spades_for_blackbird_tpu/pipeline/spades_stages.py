@@ -371,8 +371,21 @@ def make_repeat_resolution(log, output_dir=None):
             return
         libs = _paired_lib_arrays(ctx)
         lib_data: list = []
+        sg_out: dict = {}
         final, scaffolds = assemble.repeat_resolution_multi(
-            ctx.graph, libs, with_scaffolds=True, lib_data_out=lib_data)
+            ctx.graph, libs, with_scaffolds=True, lib_data_out=lib_data,
+            scaffold_graph_out=sg_out)
+        if output_dir is not None and "graph" in sg_out:
+            # PrintScaffoldGraph (launcher.cpp:85): .scg dump + dot
+            sg = sg_out["graph"]
+            with open(os.path.join(output_dir,
+                                   "scaffold_graph.scg"), "w") as f:
+                f.write(sg.to_tsv())
+            with open(os.path.join(output_dir,
+                                   "scaffold_graph.dot"), "w") as f:
+                f.write(sg.to_dot(ctx.graph))
+            log(f"scaffold graph: {sg.vertex_count} vertices, "
+                f"{sg.edge_count} connections")
         ctx.final_contigs = final
         ctx.scaffolds = scaffolds
         ctx.params["lib_data"] = lib_data
