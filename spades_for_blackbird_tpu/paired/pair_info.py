@@ -27,12 +27,21 @@ from ..ops import segments
 
 
 class PairedIndex(NamedTuple):
-    """Sorted unique (e1, e2, d) rows with weights (padded ragged)."""
+    """Sorted unique (e1, e2, d) rows with weights (padded ragged).
+
+    ``var`` is the clustered-point distance variance (index_point.hpp:221
+    PointT.var): raw/unclustered indices carry None; the distance
+    estimators fill it with the weighted spread of the merged
+    observations, and downstream lookups widen their distance windows
+    by sqrt(var) exactly as the reference widens histogram bounds by
+    +-var when merging points (index_point.hpp:244-247).
+    """
     e1: jax.Array       # (N,) int32 oriented edge ids
     e2: jax.Array       # (N,) int32
     dist: jax.Array     # (N,) int32
     weight: jax.Array   # (N,) float32
     num: jax.Array      # () int32
+    var: jax.Array | None = None  # (N,) float32 clustered variance
 
     @property
     def capacity(self) -> int:
@@ -195,8 +204,17 @@ def cluster_distances(idx: PairedIndex, max_spread: jax.Array
     dsum = jnp.zeros((N,), jnp.float32).at[
         jnp.where(near, gid, N)].add(
         idx.weight * idx.dist.astype(jnp.float32), mode="drop")
+    d2sum = jnp.zeros((N,), jnp.float32).at[
+        jnp.where(near, gid, N)].add(
+        idx.weight * jnp.square(idx.dist.astype(jnp.float32)),
+        mode="drop")
     in_range = jnp.arange(N) < num_groups
     dmean = jnp.where(wsum > 0, dsum / jnp.maximum(wsum, 1e-9), 0.0)
+    # clustered-point variance (index_point.hpp:221): weighted spread
+    # of the merged observations around the estimated distance
+    dvar = jnp.maximum(
+        jnp.where(wsum > 0, d2sum / jnp.maximum(wsum, 1e-9), 0.0)
+        - jnp.square(dmean), 0.0)
 
     ge1 = jnp.zeros((N,), jnp.int32).at[
         jnp.where(seg_start, gid, N)].max(idx.e1, mode="drop")
@@ -208,6 +226,7 @@ def cluster_distances(idx: PairedIndex, max_spread: jax.Array
         dist=jnp.where(in_range, jnp.round(dmean).astype(jnp.int32), 0),
         weight=jnp.where(in_range, wsum, 0.0),
         num=num_groups,
+        var=jnp.where(in_range, dvar, 0.0),
     )
 
 
@@ -243,12 +262,19 @@ def cluster_distances_smoothing(idx: PairedIndex, max_gap: jax.Array,
     dsum = jnp.zeros((N,), jnp.float32).at[cid].add(
         jnp.where(valid, idx.weight * idx.dist.astype(jnp.float32), 0.0),
         mode="drop")
+    d2sum = jnp.zeros((N,), jnp.float32).at[cid].add(
+        jnp.where(valid,
+                  idx.weight * jnp.square(idx.dist.astype(jnp.float32)),
+                  0.0), mode="drop")
     ce1 = jnp.zeros((N,), jnp.int32).at[
         jnp.where(new_cluster, cid, N)].max(idx.e1, mode="drop")
     ce2 = jnp.zeros((N,), jnp.int32).at[
         jnp.where(new_cluster, cid, N)].max(idx.e2, mode="drop")
     in_range = (jnp.arange(N) < num_clusters) & (wsum >= min_weight)
     dmean = jnp.where(wsum > 0, dsum / jnp.maximum(wsum, 1e-9), 0.0)
+    dvar = jnp.maximum(
+        jnp.where(wsum > 0, d2sum / jnp.maximum(wsum, 1e-9), 0.0)
+        - jnp.square(dmean), 0.0)
 
     # compact the surviving clusters to the front (stable order)
     order = jnp.argsort(jnp.where(in_range, jnp.arange(N), N + 1))
@@ -260,6 +286,7 @@ def cluster_distances_smoothing(idx: PairedIndex, max_gap: jax.Array,
                        jnp.round(dmean[order]).astype(jnp.int32), 0),
         weight=jnp.where(jnp.arange(N) < keep_n, wsum[order], 0.0),
         num=keep_n,
+        var=jnp.where(jnp.arange(N) < keep_n, dvar[order], 0.0),
     )
 
 
@@ -281,16 +308,20 @@ class _KeySpace:
             | (d.astype(np.int64) - self.d_off)
 
 
-def _from_arrays(e1, e2, d, w, capacity):
+def _from_arrays(e1, e2, d, w, capacity, var=None):
     n = len(e1)
     cap = max(int(capacity), n)
     E1 = np.zeros(cap, np.int32); E1[:n] = e1
     E2 = np.zeros(cap, np.int32); E2[:n] = e2
     D = np.zeros(cap, np.int32); D[:n] = d
     W = np.zeros(cap, np.float32); W[:n] = w
+    V = None
+    if var is not None:
+        V = np.zeros(cap, np.float32); V[:n] = var
+        V = jnp.asarray(V)
     return PairedIndex(e1=jnp.asarray(E1), e2=jnp.asarray(E2),
                        dist=jnp.asarray(D), weight=jnp.asarray(W),
-                       num=jnp.int32(n))
+                       num=jnp.int32(n), var=V)
 
 
 def improve_pair_info(idx: PairedIndex, max_spread: int = 10,
@@ -513,21 +544,179 @@ def merge_paired_indices(indices: list[PairedIndex]) -> PairedIndex:
         return indices[0]
     parts = [(np.asarray(i.e1)[:int(i.num)], np.asarray(i.e2)[:int(i.num)],
               np.asarray(i.dist)[:int(i.num)],
-              np.asarray(i.weight)[:int(i.num)]) for i in indices]
+              np.asarray(i.weight)[:int(i.num)],
+              np.asarray(i.var)[:int(i.num)] if i.var is not None
+              else np.zeros(int(i.num), np.float32)) for i in indices]
     e1 = np.concatenate([p[0] for p in parts]).astype(np.int64)
     e2 = np.concatenate([p[1] for p in parts]).astype(np.int64)
     d = np.concatenate([p[2] for p in parts]).astype(np.int64)
     w = np.concatenate([p[3] for p in parts]).astype(np.float64)
+    v = np.concatenate([p[4] for p in parts]).astype(np.float64)
     cap = max((i.capacity for i in indices), default=1)
     if len(e1) == 0:
-        return _from_arrays(e1, e2, d, w, cap)
+        return _from_arrays(e1, e2, d, w, cap, var=v)
     ks = _KeySpace(max(int(e1.max()), int(e2.max()), 1),
                    int(d.min()), int(d.max()))
     comp = ks.key(e1, e2, d)
     order = np.argsort(comp, kind="stable")
-    comp, e1, e2, d, w = comp[order], e1[order], e2[order], d[order], w[order]
+    comp, e1, e2 = comp[order], e1[order], e2[order]
+    d, w, v = d[order], w[order], v[order]
     first = np.concatenate([[True], comp[1:] != comp[:-1]])
     gid = np.cumsum(first) - 1
     wsum = np.zeros(int(gid[-1]) + 1, np.float64)
     np.add.at(wsum, gid, w)
-    return _from_arrays(e1[first], e2[first], d[first], wsum, cap)
+    # pooled variance of identical-distance points: weight-averaged
+    # (the reference widens merged bounds by +-var, index_point.hpp:244)
+    vsum = np.zeros(int(gid[-1]) + 1, np.float64)
+    np.add.at(vsum, gid, w * v)
+    vmerged = vsum / np.maximum(wsum, 1e-9)
+    return _from_arrays(e1[first], e2[first], d[first], wsum, cap,
+                        var=vmerged)
+
+
+def weighted_cluster_distances(g, idx: PairedIndex, is_hist: dict,
+                               is_mean: float, is_dev: float,
+                               max_distance: int | None = None
+                               ) -> PairedIndex:
+    """Weighted distance estimation with graph-distance snapping.
+
+    The reference's WeightedDistanceEstimator
+    (paired_info/weighted_distance_estimation.cpp:8-60) driven the way
+    estimate_scaffolding_distance drives its smoothing sibling
+    (projects/spades/distance_estimation.cpp:100-135): candidate
+    distances between an edge pair are the actual GRAPH path lengths
+    (GraphDistanceFinder), each raw observation (d, w) snaps to its
+    nearest candidate within ``max_distance``, contributing
+    ``w * weight_f(candidate - d)`` where weight_f is the library's
+    normalized insert-size distribution (WeightDEWrapper.CountWeight,
+    paired_info/pair_info_bounds.hpp).  Pairs with no graph path in
+    range keep their plain weighted-mean point (the estimator's
+    fallback of emitting the histogram as-is).
+
+    ``idx`` is a RAW (unclustered) index over forward oriented ids.
+    Host-side over edge-pair groups; Dijkstra results are cached per
+    source vertex like split_path_fill's.
+    """
+    import heapq
+    from ..graph.graph import edge_mask
+
+    n = int(idx.num)
+    if n == 0:
+        return cluster_distances(idx, jnp.int32(max(5, int(3 * is_dev))))
+    if max_distance is None:
+        max_distance = max(int(2 * is_dev), 10)
+
+    # normalized IS-shift weight function (WeightDEWrapper): the
+    # distribution of (observed distance - expected distance)
+    total = float(sum(is_hist.values())) or 1.0
+    wf = {int(round(size - is_mean)): cnt / total
+          for size, cnt in is_hist.items()}
+
+    def weight_f(delta: int) -> float:
+        # nearest-bin lookup with light smearing over +-2
+        acc, norm = 0.0, 0
+        for o in range(-2, 3):
+            acc += wf.get(delta + o, 0.0)
+            norm += 1
+        return max(acc / norm, 1e-6)
+
+    alive = np.asarray(edge_mask(g))
+    start_v = np.asarray(g.start_v)
+    end_v = np.asarray(g.end_v)
+    len_k = np.asarray(g.seq_len) - g.k
+    out_of: dict[int, list[int]] = {}
+    for e in np.nonzero(alive)[0]:
+        out_of.setdefault(int(start_v[e]), []).append(int(e))
+
+    e1 = np.asarray(idx.e1)[:n]
+    e2 = np.asarray(idx.e2)[:n]
+    d = np.asarray(idx.dist)[:n]
+    w = np.asarray(idx.weight)[:n]
+    upper = int(is_mean + 3 * max(is_dev, 1.0))
+
+    # all path lengths (not just shortest) from a vertex, bounded
+    lens_cache: dict[int, dict[int, set]] = {}
+
+    def path_lengths_from(src_v: int) -> dict[int, set]:
+        got = lens_cache.get(src_v)
+        if got is not None:
+            return got
+        lens: dict[int, set] = {src_v: {0}}
+        q = [(0, src_v)]
+        seen = set()
+        while q:
+            dist, v = heapq.heappop(q)
+            if (dist, v) in seen:
+                continue
+            seen.add((dist, v))
+            if len(seen) > 4096:     # state cap for repeat tangles
+                break
+            for e in out_of.get(v, []):
+                nd = dist + int(len_k[e])
+                t = int(end_v[e])
+                if nd <= upper:
+                    s = lens.setdefault(t, set())
+                    if nd not in s:
+                        s.add(nd)
+                        heapq.heappush(q, (nd, t))
+        lens_cache[src_v] = lens
+        return lens
+
+    # group rows by (e1, e2): rows are sorted already
+    E1o, E2o, Do, Wo, Vo = [], [], [], [], []
+    i = 0
+    while i < n:
+        j = i
+        while j < n and e1[j] == e1[i] and e2[j] == e2[i]:
+            j += 1
+        a, b = int(e1[i]) // 2, int(e2[i]) // 2
+        ds = d[i:j].astype(np.int64)
+        ws = w[i:j].astype(np.float64)
+        if a == b:
+            forward: list[int] = []
+        else:
+            lens = path_lengths_from(int(end_v[a]))
+            # start-to-start distance = len_k(a) + interior path length
+            forward = sorted(int(len_k[a]) + L
+                             for L in lens.get(int(start_v[b]), ()))
+        minD, maxD = int(ds.min()), int(ds.max())
+        forward = [f for f in forward
+                   if minD - max_distance <= f <= maxD + max_distance]
+        if forward:
+            fa = np.asarray(forward, np.int64)
+            # nearest candidate per point (EstimateEdgePairDistances'
+            # forward-march, distance_estimation.cpp:97-140)
+            pos = np.searchsorted(fa, ds)
+            left = np.clip(pos - 1, 0, len(fa) - 1)
+            right = np.clip(pos, 0, len(fa) - 1)
+            pick = np.where(np.abs(fa[right] - ds) < np.abs(ds - fa[left]),
+                            right, left)
+            snapped = fa[pick]
+            ok = np.abs(snapped - ds) <= max_distance
+            if ok.any():
+                wsnap = ws[ok] * np.asarray(
+                    [weight_f(int(dd)) for dd in (snapped - ds)[ok]])
+                for f in np.unique(snapped[ok]):
+                    sel = snapped[ok] == f
+                    wt = float(wsnap[sel].sum())
+                    if wt <= 0:
+                        continue
+                    src_d = ds[ok][sel].astype(np.float64)
+                    sw = ws[ok][sel]
+                    m = float((src_d * sw).sum() / sw.sum())
+                    v = float((sw * (src_d - m) ** 2).sum() / sw.sum())
+                    E1o.append(int(e1[i])); E2o.append(int(e2[i]))
+                    Do.append(int(f)); Wo.append(wt); Vo.append(v)
+                i = j
+                continue
+        # fallback: plain weighted mean of the group
+        m = float((ds * ws).sum() / ws.sum())
+        v = float((ws * (ds - m) ** 2).sum() / ws.sum())
+        E1o.append(int(e1[i])); E2o.append(int(e2[i]))
+        Do.append(int(round(m))); Wo.append(float(ws.sum())); Vo.append(v)
+        i = j
+
+    order = np.lexsort((Do, E2o, E1o))
+    return _from_arrays(np.asarray(E1o)[order], np.asarray(E2o)[order],
+                        np.asarray(Do)[order], np.asarray(Wo)[order],
+                        idx.capacity, var=np.asarray(Vo)[order])

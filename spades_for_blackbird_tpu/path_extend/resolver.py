@@ -110,6 +110,9 @@ class PairedLib:
         e2 = np.asarray(clustered.e2)[:n].astype(np.int64)
         d = np.asarray(clustered.dist)[:n].astype(np.int64)
         w = np.asarray(clustered.weight)[:n].astype(np.float64)
+        cvar = getattr(clustered, "var", None)
+        v = (np.asarray(cvar)[:n].astype(np.float64)
+             if cvar is not None else np.zeros(n, np.float64))
         if conj is not None and len_k is not None:
             # conjugate symmetrization (the reference's half-storage
             # mirroring, paired_info.hpp:24-120): a point (e1, e2, d)
@@ -125,10 +128,12 @@ class PairedLib:
             e2 = np.concatenate([e2, ce2])
             d = np.concatenate([d, cd])
             w = np.concatenate([w, w])
+            v = np.concatenate([v, v])
             # drop duplicates (self-conjugate pairs mirror onto themselves)
             key_all = np.stack([e1, e2, d], axis=1)
             _, idx_u = np.unique(key_all, axis=0, return_index=True)
-            e1, e2, d, w = e1[idx_u], e2[idx_u], d[idx_u], w[idx_u]
+            e1, e2, d, w, v = (e1[idx_u], e2[idx_u], d[idx_u], w[idx_u],
+                               v[idx_u])
         self.d = d
         self.w = w
         key = (e1 << 31) | e2
@@ -136,6 +141,8 @@ class PairedLib:
         self.key = key[order]
         self.d = self.d[order]
         self.w = self.w[order]
+        # per-point distance spread (index_point.hpp PointT.var)
+        self.sd = np.sqrt(v[order])
         self.read_length = int(read_length)
         self.k = int(k)
         med = float(getattr(is_stats, "median", 0.0) or 0.0)
@@ -158,17 +165,17 @@ class PairedLib:
         key = (np.int64(o1) << 31) | np.int64(o2)
         lo = np.searchsorted(self.key, key, side="left")
         hi = np.searchsorted(self.key, key, side="right")
-        return self.d[lo:hi], self.w[lo:hi]
+        return self.d[lo:hi], self.w[lo:hi], self.sd[lo:hi]
 
     def count_paired_info(self, o1: int, o2: int, dist: int) -> float:
         """Sum of point weights around ``dist`` within the library
-        variation window (paired_library.hpp:122; our clustered points
-        carry no per-point variance, so the library deviation is the
-        window)."""
-        d, w = self.points(o1, o2)
+        variation window (paired_library.hpp:122), widened per point by
+        its clustered-distance spread — the reference's point variance
+        (index_point.hpp:244 widens merge bounds by +-var)."""
+        d, w, sd = self.points(o1, o2)
         if len(d) == 0:
             return 0.0
-        dev = max(int(self.is_var), 5)
+        dev = np.maximum(int(self.is_var), 5) + sd
         sel = (d >= dist - dev) & (d <= dist + dev)
         return float(w[sel].sum())
 

@@ -143,7 +143,8 @@ def repeat_resolution(g, codes1, lengths1, codes2, lengths2,
 
 def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
                             lib_data_out: list | None = None,
-                            scaffold_graph_out: dict | None = None):
+                            scaffold_graph_out: dict | None = None,
+                            scaffolding_estimator: str | None = None):
     """Per-library repeat resolution (pair_info_count.cpp:186-230 +
     extenders_logic.cpp per-lib extender construction): each library
     gets its OWN insert-size estimate, paired-index shift and distance
@@ -231,7 +232,16 @@ def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
         specs.append(resolver.LibSpec(
             clustered, is_stats=stats, read_length=read_length,
             kind=kind, coverage_share=share))
-        clustered_all.append(clustered)
+        if scaffolding_estimator == "weighted" and stats.histogram:
+            # separate scaffolding index: graph-distance snapping with
+            # the IS-distribution weight function
+            # (estimate_scaffolding_distance,
+            # projects/spades/distance_estimation.cpp:100-135)
+            clustered_all.append(pair_info.weighted_cluster_distances(
+                g, pi, stats.histogram, float(stats.median),
+                float(stats.deviation)))
+        else:
+            clustered_all.append(clustered)
 
     if not specs:
         from ..io import fasta

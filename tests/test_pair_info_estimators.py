@@ -134,3 +134,99 @@ def test_split_path_fill_derives_interior_points():
     rows = {(int(out.e1[i]), int(out.e2[i]), int(out.dist[i]))
             for i in range(n)}
     assert (2 * eA, 2 * eM, d - (int(ln[eM]) - K)) in rows
+
+
+def test_clustered_variance_column():
+    # tight cluster -> small var; spread cluster -> larger var
+    rows = [(2, 4, 99, 3), (2, 4, 100, 4), (2, 4, 101, 3),
+            (2, 6, 90, 2), (2, 6, 110, 2)]
+    idx = make_index(rows)
+    c = pair_info.cluster_distances(idx, jnp.int32(30))
+    n = int(c.num)
+    assert c.var is not None
+    got = {(int(c.e1[i]), int(c.e2[i])): float(c.var[i])
+           for i in range(n)}
+    assert got[(2, 4)] < 2.0
+    assert got[(2, 6)] >= 90.0  # (+-10)^2 spread
+    # merge pools variance by weight
+    merged = pair_info.merge_paired_indices([c, c])
+    m = {(int(merged.e1[i]), int(merged.e2[i])): float(merged.var[i])
+         for i in range(int(merged.num))}
+    for key_ in got:
+        assert abs(m[key_] - got[key_]) < 1e-3
+
+
+def test_weighted_estimator_snaps_to_graph_distance():
+    # graph: A -> M -> B, one interior edge; observations slightly off
+    # the true start-to-start distance must snap onto it
+    import naive_debruijn as nd
+    from spades_for_blackbird_tpu.graph import construct
+    from spades_for_blackbird_tpu.ops import dna
+
+    rng = np.random.default_rng(5)
+    genome = "".join(rng.choice(list("ACGT"), size=400))
+    reads = [genome[i:i + 60] for i in range(0, 341, 2)]
+    codes, lengths = dna.encode_reads(reads)
+    g = construct.graph_from_reads(codes, lengths, 15)
+    # pick the longest alive edge pair a->a (self) irrelevant; use a
+    # synthetic pair over the single condensed edge: fall back branch
+    alive = np.nonzero(np.asarray(g.alive))[0]
+    lens = np.asarray(g.seq_len)
+    a = int(alive[np.argmax(lens[alive])])
+    # raw index over forward ids with observations around d=37
+    rows = [(2 * a, 2 * a, 35, 2), (2 * a, 2 * a, 37, 5),
+            (2 * a, 2 * a, 39, 2)]
+    idx = make_index(rows)
+    hist = {235: 1, 240: 3, 245: 1}
+    out = pair_info.weighted_cluster_distances(
+        g, idx, hist, is_mean=240.0, is_dev=10.0)
+    # self pair has no graph path: falls back to weighted mean w/ var
+    assert int(out.num) == 1
+    assert int(out.dist[0]) == 37
+    assert out.var is not None and float(out.var[0]) > 0
+
+
+def test_weighted_estimator_graph_snap_two_edges():
+    from spades_for_blackbird_tpu.graph import construct
+    from spades_for_blackbird_tpu.ops import dna
+
+    rng = np.random.default_rng(9)
+    # X-junction genome: shared repeat -> two in, two out edges
+    core = "".join(rng.choice(list("ACGT"), size=30))
+    p1 = "".join(rng.choice(list("ACGT"), size=80))
+    p2 = "".join(rng.choice(list("ACGT"), size=80))
+    s1 = "".join(rng.choice(list("ACGT"), size=80))
+    s2 = "".join(rng.choice(list("ACGT"), size=80))
+    g1, g2 = p1 + core + s1, p2 + core + s2
+    reads = [g1[i:i + 50] for i in range(0, len(g1) - 50, 2)]
+    reads += [g2[i:i + 50] for i in range(0, len(g2) - 50, 2)]
+    codes, lengths = dna.encode_reads(reads)
+    g = construct.graph_from_reads(codes, lengths, 15)
+    start_v = np.asarray(g.start_v)
+    end_v = np.asarray(g.end_v)
+    alive = np.nonzero(np.asarray(g.alive))[0]
+    lens = np.asarray(g.seq_len)
+    # find an adjacent pair a -> b (end_v[a] == start_v[b])
+    pair = None
+    for a in alive:
+        for b in alive:
+            if a != b and end_v[a] == start_v[b]:
+                pair = (int(a), int(b))
+                break
+        if pair:
+            break
+    assert pair is not None
+    a, b = pair
+    true_d = int(lens[a]) - 15  # start-to-start = len_k(a)
+    lo, hi = (2 * a, 2 * b) if 2 * a <= 2 * b else (2 * a, 2 * b)
+    rows = sorted([(2 * a, 2 * b, true_d - 4, 2),
+                   (2 * a, 2 * b, true_d + 3, 3),
+                   (2 * a, 2 * b, true_d + 6, 1)])
+    idx = make_index(rows)
+    hist = {236: 1, 240: 2, 244: 1}
+    out = pair_info.weighted_cluster_distances(
+        g, idx, hist, is_mean=240.0, is_dev=8.0, max_distance=10)
+    n = int(out.num)
+    ds = [int(out.dist[i]) for i in range(n)]
+    # all observations snapped onto the exact graph distance
+    assert ds == [true_d]
