@@ -374,3 +374,140 @@ def expand_solid(codes: jax.Array, lengths: jax.Array,
     solid, _, _ = jax.lax.while_loop(
         cond, body, (solid, jnp.int32(1), jnp.int32(0)))
     return solid
+
+
+def subcluster_kmers_chunked(kmers, counts, num, stats: KmerQualStats,
+                             rep, k: int, max_l: int = 4,
+                             em_iters: int = 4,
+                             chunk: int = 1 << 18) -> SubClusters:
+    """subcluster_kmers over cluster-aligned row chunks.
+
+    The EM holds (N, max_l, k, 4) scatter-add scores; at multi-Mb scale
+    (N ~ 4M unique k-mers) one pass needs >16 GB HBM.  Subclustering is
+    strictly intra-Hamming-cluster, so rows reordered by cluster id can
+    split at cluster boundaries and each slice runs the exact same jit
+    with bounded shapes — the chunked analogue of the reference
+    processing clusters block-wise in parallel (kmer_cluster.cpp:624
+    iterating cluster blocks).
+    """
+    import numpy as np
+    N = kmers.shape[0]
+    if N <= chunk:
+        return subcluster_kmers(kmers, counts, num, stats, rep, k,
+                                max_l=max_l, em_iters=em_iters)
+    n = int(num)
+    rep_h = np.asarray(rep)[:n]
+    counts_h = np.asarray(counts)
+    order = np.lexsort((np.arange(n), -counts_h[:n], rep_h))
+    srep = rep_h[order]
+    starts = np.nonzero(np.concatenate([[True],
+                                        srep[1:] != srep[:-1]]))[0]
+    bounds = [0]
+    while bounds[-1] < n:
+        target = bounds[-1] + chunk
+        if target >= n:
+            bounds.append(n)
+            break
+        j = int(np.searchsorted(starts, target, side="right")) - 1
+        cut = int(starts[j])
+        if cut <= bounds[-1]:      # one cluster larger than the chunk
+            cut = target
+        bounds.append(cut)
+
+    kmers_h = np.asarray(kmers)
+    lq_h = np.asarray(stats.total_lq)
+    qs_h = np.asarray(stats.qual_sum)
+
+    solid = np.zeros(N, bool)
+    is_center = np.zeros(N, bool)
+    center_bases = np.zeros((N, k), np.uint8)
+    rep_out = np.full(N, N, np.int64)
+
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        rows = order[lo:hi]
+        m = hi - lo
+        pad = chunk - m
+        def padded(a, fill=0):
+            out = a[rows]
+            if pad > 0:
+                width = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+                out = np.pad(out, width, constant_values=fill)
+            return out
+        sub = subcluster_kmers(
+            jnp.asarray(padded(kmers_h, fill=0xFFFFFFFF)),
+            jnp.asarray(padded(counts_h)),
+            jnp.int32(m),
+            KmerQualStats(total_lq=jnp.asarray(padded(lq_h)),
+                          qual_sum=jnp.asarray(padded(qs_h))),
+            jnp.asarray(padded(rep_h, fill=0)),
+            k, max_l=max_l, em_iters=em_iters)
+        solid[rows] = np.asarray(sub.solid)[:m]
+        is_center[rows] = np.asarray(sub.is_center)[:m]
+        center_bases[rows] = np.asarray(sub.center_bases)[:m]
+        rep_out[rows] = rep_h[order[lo:hi]]
+
+    return SubClusters(solid=jnp.asarray(solid),
+                       is_center=jnp.asarray(is_center),
+                       center_bases=jnp.asarray(center_bases),
+                       rep=jnp.asarray(rep_out.astype(np.int32)))
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _expand_round(codes, lengths, table: counter.KmerTable, solid,
+                  k: int):
+    """One chunk-pass of the solid expander: per-k-mer promotion mask."""
+    R, L = codes.shape
+    N = table.kmers.shape[0]
+    canon, valid, _ = kmer.extract_canonical_kmers(codes, lengths, k)
+    P = canon.shape[1]
+    row = segments.searchsorted_rows(
+        table.kmers, canon.reshape(-1, canon.shape[2])).reshape(R, P)
+    found = (row < table.num) & valid
+    safe_row = jnp.where(found, row, 0)
+    in_read = jnp.arange(L)[None, :] < lengths[:, None]
+    good = solid[safe_row] & found
+    gi = good.astype(jnp.int32)
+    cs = jnp.concatenate([jnp.zeros((R, 1), jnp.int32),
+                          jnp.cumsum(gi, axis=1)], axis=1)
+    t = jnp.arange(L)
+    hi = jnp.minimum(t + 1, P)
+    lo = jnp.maximum(t - (k - 1), 0)
+    covered = (cs[:, hi] - cs[:, lo]) > 0
+    read_ok = jnp.all(covered | ~in_read, axis=1) & (lengths >= k)
+    promote = found & read_ok[:, None]
+    return jnp.zeros((N,), bool).at[
+        jnp.where(promote, safe_row, N)].max(promote, mode="drop")
+
+
+def expand_solid_chunked(codes, lengths, table: counter.KmerTable,
+                         solid, k: int, max_rounds: int = 8,
+                         chunk_reads: int = 1 << 18) -> jax.Array:
+    """expand_solid with the read loop chunked (expander.cpp:17-70 run
+    over binary read batches): each round streams fixed-shape read
+    chunks, ORs their per-k-mer promotions, and stops at the fixed
+    point.  Bounded (chunk, P) intermediates instead of (R, P)."""
+    import numpy as np
+    codes_h = np.asarray(codes)
+    lengths_h = np.asarray(lengths)
+    R = codes_h.shape[0]
+    if R <= chunk_reads:
+        return expand_solid(jnp.asarray(codes_h), jnp.asarray(lengths_h),
+                            table, solid, k, max_rounds=max_rounds)
+    solid = jnp.asarray(solid)
+    for _ in range(max_rounds):
+        promoted = jnp.zeros_like(solid)
+        for lo in range(0, R, chunk_reads):
+            hi = min(lo + chunk_reads, R)
+            c, l = codes_h[lo:hi], lengths_h[lo:hi]
+            if hi - lo < chunk_reads:
+                pad = chunk_reads - (hi - lo)
+                c = np.concatenate(
+                    [c, np.full((pad, c.shape[1]), 4, c.dtype)])
+                l = np.concatenate([l, np.zeros(pad, l.dtype)])
+            promoted = promoted | _expand_round(
+                jnp.asarray(c), jnp.asarray(l), table, solid, k)
+        new_solid = solid | promoted
+        if not bool(jnp.any(new_solid & ~solid)):
+            break
+        solid = new_solid
+    return solid
