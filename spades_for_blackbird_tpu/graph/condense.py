@@ -55,7 +55,14 @@ def build_graph(kp1_table: KmerTable, vt: extension.VertexTable, k: int
     e_valid = jnp.arange(E) < kp1_table.num
     fwd = kp1_table.kmers
     rev = dna.revcomp_kmers(fwd, k + 1)
-    ori = jnp.stack([fwd, rev], axis=1).reshape(O, W1)  # 2j / 2j+1
+    # interleave rows 2j=fwd[j], 2j+1=rev[j] WITHOUT a (E, 2, W) stack:
+    # XLA:TPU assigns the 3D intermediate a T(8,128) tiled layout that
+    # pads the size-2 axis to 128 (observed 64x HBM blowup at 31.6M
+    # rows — the round-2 1 Mb-run blocker); two gathers + select keep
+    # everything 2D.
+    half = jnp.arange(O) // 2
+    odd = (jnp.arange(O) % 2) == 1
+    ori = jnp.where(odd[:, None], rev[half], fwd[half])  # 2j / 2j+1
     ovalid = jnp.repeat(e_valid, 2)
     # Palindromic (k+1)-mers (possible since k+1 is even) are self-reverse-
     # complement: both oriented instances are the same edge, which would

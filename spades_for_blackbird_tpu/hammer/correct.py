@@ -233,9 +233,10 @@ def _correct_reads_bayes(codes, lengths, quals, k: int,
         clusters = cluster_kmers(
             table.kmers, table.counts, table.num, k,
             jnp.int32(2 ** 30), jnp.float32(0.0))  # topology only
-        sub = bayes.subcluster_kmers(table.kmers, table.counts,
-                                     table.num, qstats, clusters.rep, k)
-        solid = bayes.expand_solid(codes, lengths, table, sub.solid, k)
+        sub = bayes.subcluster_kmers_chunked(
+            table.kmers, table.counts, table.num, qstats, clusters.rep, k)
+        solid = bayes.expand_solid_chunked(
+            codes, lengths, table, sub.solid, k)
         res = _run_chunked(
             lambda c, l: correct_batch_bayes(c, l, table, solid,
                                              sub.center_bases, k),

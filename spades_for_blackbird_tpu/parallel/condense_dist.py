@@ -137,7 +137,11 @@ def make_sharded_graph_builder(mesh: Mesh, k: int,
         fwd = kp1_kmers
         rev = dna.revcomp_kmers(fwd, k + 1)
         W1 = fwd.shape[1]
-        ori = jnp.stack([fwd, rev], axis=1).reshape(2 * L, W1)
+        # 2-gather interleave; a (L, 2, W) stack gets a T(8,128) tiled
+        # layout on TPU that pads the size-2 axis to 128 (64x HBM)
+        half = jnp.arange(2 * L) // 2
+        odd = (jnp.arange(2 * L) % 2) == 1
+        ori = jnp.where(odd[:, None], rev[half], fwd[half])
         ovalid = jnp.repeat(e_valid, 2)
         pal = jnp.repeat(jnp.all(fwd == rev, axis=1), 2)
         ovalid = ovalid & ~(pal & (jnp.arange(2 * L) % 2 == 1))

@@ -107,3 +107,50 @@ def make_sharded_counter(mesh: Mesh, k: int, capacity_factor: float = 1.5):
         return kmers, counts, nums, dropped
 
     return count
+
+
+def make_sharded_table_merge(mesh: Mesh):
+    """Per-shard merge of two hash-partitioned tables (counts add).
+
+    Both inputs must be partitioned by the same hash policy (the output
+    of ``make_sharded_counter``), so merging is purely shard-local:
+    concat + sort + run-length reduce per shard.  Used to fold
+    additional-contig k-mers (the multi-K ``--additional-contigs``
+    mechanism) into the read table without leaving the mesh.
+    """
+    def per_shard(k1, c1, n1, k2, c2, n2):
+        kmers = jnp.concatenate([k1, k2], axis=0)
+        counts = jnp.concatenate([c1, c2])
+        valid = jnp.concatenate([
+            jnp.arange(k1.shape[0]) < n1[0],
+            jnp.arange(k2.shape[0]) < n2[0]])
+        uniq, cnt, num = segments.count_sorted(kmers, valid, counts)
+        return uniq, cnt.astype(jnp.int32), num[None]
+
+    sharded = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(READS_AXIS, None), P(READS_AXIS), P(READS_AXIS),
+                  P(READS_AXIS, None), P(READS_AXIS), P(READS_AXIS)),
+        out_specs=(P(READS_AXIS, None), P(READS_AXIS), P(READS_AXIS)),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+def make_sharded_min_count_filter(mesh: Mesh):
+    """Per-shard ``filter_min_count`` (drop k-mers below the coverage
+    cutoff) preserving the hash partition and sorted-with-padding-last
+    invariant of each shard."""
+    def per_shard(kmers, counts, num, minc):
+        N = kmers.shape[0]
+        keep = (counts >= minc[0]) & (jnp.arange(N) < num[0])
+        kept, (km, ct) = segments.compact(keep, kmers, counts)
+        pad = jnp.arange(N) >= kept
+        km = jnp.where(pad[:, None], jnp.uint32(0xFFFFFFFF), km)
+        return km, ct, kept[None]
+
+    sharded = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(READS_AXIS, None), P(READS_AXIS), P(READS_AXIS), P()),
+        out_specs=(P(READS_AXIS, None), P(READS_AXIS), P(READS_AXIS)),
+        check_vma=False)
+    return jax.jit(sharded)

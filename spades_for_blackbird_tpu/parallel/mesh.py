@@ -39,3 +39,17 @@ def shard_reads(mesh: Mesh, codes, lengths):
     sh = NamedSharding(mesh, P(READS_AXIS, None))
     sh1 = NamedSharding(mesh, P(READS_AXIS))
     return jax.device_put(codes, sh), jax.device_put(lengths, sh1)
+
+
+def auto_mesh() -> Mesh | None:
+    """Mesh over all devices when more than one is visible, else None.
+
+    Set ``SFB_TPU_FORCE_SINGLE_DEVICE=1`` to disable the distributed
+    paths (used by equality tests comparing sharded vs single-device
+    output)."""
+    import os
+    if os.environ.get("SFB_TPU_FORCE_SINGLE_DEVICE") == "1":
+        return None
+    if len(jax.devices()) <= 1:
+        return None
+    return make_mesh()

@@ -29,6 +29,84 @@ class AssemblyResult:
     graph: object = None  # final simplified Graph (for GFA/FASTG output)
 
 
+def _windows_from_sequences(seqs: list[str], width: int, k: int):
+    """Chop sequences into overlapping windows of ``width`` so every
+    k-mer of each sequence appears in EXACTLY one window's extraction:
+    a window starting at w yields k-mer starts [w, w+width-k], so the
+    stride is width-k+1 (contiguous, non-overlapping start ranges)."""
+    rows = []
+    stride = max(1, width - k + 1)
+    for s in seqs:
+        if len(s) <= width:
+            rows.append(s)
+            continue
+        for lo in range(0, len(s) - k + 1, stride):
+            rows.append(s[lo:lo + width])
+    return dna.encode_reads(rows)
+
+
+def _construct_distributed(mesh, codes, lengths, k: int,
+                           extra_sequences, min_kmer_count):
+    """Sharded construction over the mesh: hash-partitioned all_to_all
+    (k+1)-mer count -> distributed extension index -> routed-lookup
+    condensation (parallel/{kmer_exchange,construction,condense_dist}).
+    The reference's equivalent machinery is the disk-bucket counter +
+    shared-memory graph build (kmer_index_builder.hpp:220-366,
+    debruijn_graph_constructor.hpp:390-520).  Returns
+    (graph, read_kp1_counts_host for the coverage model)."""
+    import jax.numpy as jnp
+    from ..parallel import condense_dist, construction as pcon
+    from ..parallel import kmer_exchange, mesh as mesh_mod
+
+    sc, sl = mesh_mod.shard_reads(mesh, np.asarray(codes),
+                                  np.asarray(lengths))
+    count = kmer_exchange.make_sharded_counter(mesh, k + 1,
+                                               capacity_factor=3.0)
+    kk, cc, nn, dropped = count(sc, sl)
+    if int(np.asarray(dropped).sum()) != 0:
+        raise RuntimeError(
+            "sharded k-mer exchange overflowed its capacity factor; "
+            "raise capacity_factor (hash imbalance this large indicates "
+            "a pathological input)")
+
+    # coverage model fit on the READ spectrum (before extras/filter),
+    # matching the single-device path
+    nn_h = np.asarray(nn)
+    per = kk.shape[0] // mesh.shape[mesh_mod.READS_AXIS]
+    cc_h = np.asarray(cc)
+    read_counts = np.concatenate([
+        cc_h[i * per:i * per + int(nn_h[i])] for i in range(len(nn_h))])
+
+    if extra_sequences:
+        extra = [s for s in extra_sequences if len(s) > k]
+        if extra:
+            ec, el = _windows_from_sequences(
+                extra, int(np.asarray(codes).shape[1]), k + 1)
+            ec2, el2 = mesh_mod.shard_reads(mesh, np.asarray(ec),
+                                            np.asarray(el))
+            ek, ecc, en, edrop = kmer_exchange.make_sharded_counter(
+                mesh, k + 1, capacity_factor=3.0)(ec2, el2)
+            if int(np.asarray(edrop).sum()) != 0:
+                raise RuntimeError("extra-contig k-mer exchange overflow")
+            merge = kmer_exchange.make_sharded_table_merge(mesh)
+            kk, cc, nn = merge(kk, cc, nn, ek, ecc, en)
+    if min_kmer_count > 1:
+        filt = kmer_exchange.make_sharded_min_count_filter(mesh)
+        kk, cc, nn = filt(kk, cc, nn,
+                          jnp.asarray([min_kmer_count], jnp.int32))
+
+    vb = pcon.make_sharded_vertex_builder(mesh, k, capacity_factor=3.0)
+    vk, om, im, vnums, vdrop = vb(kk, nn)
+    if int(np.asarray(vdrop).sum()) != 0:
+        raise RuntimeError("sharded vertex exchange overflow")
+    gb = condense_dist.make_sharded_graph_builder(mesh, k,
+                                                  capacity_factor=3.0)
+    g, qdrop = gb(kk, cc, nn, vk, om, im, vnums)
+    if int(np.asarray(qdrop).sum()) != 0:
+        raise RuntimeError("routed successor query overflow")
+    return g, read_counts
+
+
 def assemble_single_k(codes, lengths, k: int,
                       cfg: runner.SimplifyConfig | None = None,
                       min_contig_length: int | None = None,
@@ -46,6 +124,10 @@ def assemble_single_k(codes, lengths, k: int,
       extra_sequences: additional sequences fed into construction (the
         multi-K "--additional-contigs" mechanism,
         spades_pipeline/stages/spades_iteration_stage.py:167-180).
+
+    With more than one visible device the construction phase runs
+    sharded over the mesh (hash-partitioned all_to_all count, routed
+    condensation) — the pipeline integration of parallel/*.
     """
     if k % 2 == 0:
         raise ValueError(f"k must be odd (reference enforces this, "
@@ -54,29 +136,46 @@ def assemble_single_k(codes, lengths, k: int,
     if cfg is None:
         cfg = runner.SimplifyConfig(read_length=read_length)
 
-    # Construction (+ coverage model on the (k+1)-mer spectrum)
-    kp1 = counter.count_kmers(codes, lengths, k + 1)
-    ginfo = coverage_model.fit_coverage_model(
-        np.asarray(kp1.counts[:int(kp1.num)]))
-    if extra_sequences:
-        extra = [s for s in extra_sequences if len(s) > k]
-        if extra:
-            ec, el = dna.encode_reads(extra)
-            kp1 = counter.merge_tables(
-                kp1, counter.count_kmers(ec, el, k + 1))
-    if min_kmer_count == "auto":  # --cov-cutoff auto
-        min_kmer_count = max(2, int(ginfo.ec_bound))
-    if min_kmer_count > 1:
-        kp1 = counter.filter_min_count(kp1, min_kmer_count)
-    from ..kmers import extension
-    from ..graph import condense
     from ..graph.graph import compact_graph
-    vt = extension.build_vertex_table(kp1, k)
-    g = condense.build_graph(kp1, vt, k)
-    # trim the table-capacity-sized graph to compact power-of-two
-    # shapes: simplification scatters and their compiles scale with
-    # edge capacity, not with the (k+1)-mer table
-    g, v_space = compact_graph(g)
+    from ..parallel import mesh as mesh_mod
+    mesh = mesh_mod.auto_mesh()
+    if mesh is not None:
+        # Construction sharded over the device mesh.  The coverage-model
+        # fit and cov-cutoff resolution see the same read spectrum as
+        # the single-device path below.
+        g, read_counts = _construct_distributed(
+            mesh, codes, lengths, k, extra_sequences,
+            1 if min_kmer_count == "auto" else min_kmer_count)
+        ginfo = coverage_model.fit_coverage_model(read_counts)
+        if min_kmer_count == "auto":
+            mc = max(2, int(ginfo.ec_bound))
+            if mc > 1:  # re-run with the resolved cutoff
+                g, _ = _construct_distributed(
+                    mesh, codes, lengths, k, extra_sequences, mc)
+        g, v_space = compact_graph(g)
+    else:
+        # Construction (+ coverage model on the (k+1)-mer spectrum)
+        kp1 = counter.count_kmers_chunked(codes, lengths, k + 1)
+        ginfo = coverage_model.fit_coverage_model(
+            np.asarray(kp1.counts[:int(kp1.num)]))
+        if extra_sequences:
+            extra = [s for s in extra_sequences if len(s) > k]
+            if extra:
+                ec, el = dna.encode_reads(extra)
+                kp1 = counter.merge_tables(
+                    kp1, counter.count_kmers(ec, el, k + 1))
+        if min_kmer_count == "auto":  # --cov-cutoff auto
+            min_kmer_count = max(2, int(ginfo.ec_bound))
+        if min_kmer_count > 1:
+            kp1 = counter.filter_min_count(kp1, min_kmer_count)
+        from ..kmers import extension
+        from ..graph import condense
+        vt = extension.build_vertex_table(kp1, k)
+        g = condense.build_graph(kp1, vt, k)
+        # trim the table-capacity-sized graph to compact power-of-two
+        # shapes: simplification scatters and their compiles scale with
+        # edge capacity, not with the (k+1)-mer table
+        g, v_space = compact_graph(g)
 
     if uneven_depth:
         # meta/MDA: the spectrum mixture fit is unreliable under uneven
@@ -163,8 +262,31 @@ def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
     from ..paired import insert_size, pair_info
     from ..path_extend import resolver
 
+    from ..parallel import mesh as mesh_mod
+    mesh = mesh_mod.auto_mesh()
+
     k = g.k
     idx = eidx.build_edge_index(g, k + 1)
+
+    def chain_map(c, l):
+        """Read mapping fan-out: sharded over the mesh when available
+        (the sequence_mapper_notifier.hpp:66 engine as shard_map data
+        parallelism), chunked single-chip otherwise."""
+        if mesh is not None:
+            from ..parallel import mapping_dist
+            return mapping_dist.map_reads_multi_sharded(
+                mesh, idx, g.seq_len, g.conj, c, l, k + 1, min_votes=1)
+        ch = chunked.map_reads_multi_chunked(
+            idx, g.seq_len, c, l, k + 1, min_votes=1)
+        return mapper.normalize_chain(ch, g.conj)
+
+    def pair_fill(ch1, ch2, shift):
+        if mesh is not None:
+            from ..parallel import mapping_dist
+            return mapping_dist.fill_paired_index_sharded(
+                mesh, ch1, ch2, shift)
+        return pair_info.fill_paired_index_multi_chunked(
+            ch1, ch2, jnp.int32(shift))
 
     def first_placement(ch):
         return mapper.ReadMapping(
@@ -183,12 +305,8 @@ def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
         # uses all edge combinations + split-read adjacency pairs.
         # Chunked: big libraries stream through fixed-shape chunks so
         # the (R, P) vote intermediates stay bounded.
-        ch1 = chunked.map_reads_multi_chunked(
-            idx, g.seq_len, codes1, lengths1, k + 1, min_votes=1)
-        ch2 = chunked.map_reads_multi_chunked(
-            idx, g.seq_len, c2rc, lengths2, k + 1, min_votes=1)
-        ch1 = mapper.normalize_chain(ch1, g.conj)
-        ch2 = mapper.normalize_chain(ch2, g.conj)
+        ch1 = chain_map(codes1, lengths1)
+        ch2 = chain_map(c2rc, lengths2)
         m1 = first_placement(ch1)
         m2 = first_placement(ch2)
         stats = insert_size.estimate_insert_size(
@@ -208,8 +326,7 @@ def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
         if stats.count == 0:
             continue
         mean_l2 = float(np.asarray(lengths2).mean())
-        pi = pair_info.fill_paired_index_multi_chunked(
-            ch1, ch2, jnp.int32(int(round(stats.median - mean_l2))))
+        pi = pair_fill(ch1, ch2, int(round(stats.median - mean_l2)))
         spread = max(5, int(3 * stats.mad))
         if kind == "mp":
             # mate pairs: broad, multi-modal histograms -> multi-peak
