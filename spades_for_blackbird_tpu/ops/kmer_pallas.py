@@ -184,6 +184,14 @@ def _fused_raw(codes: jax.Array, lengths: jax.Array, k: int,
     # need Lpad >= P + max(k, W*BPW); also a multiple of 128 (hazard 2)
     need = max(L, Ppad + max(k, W * dna.BASES_PER_WORD))
     Lpad = ((need + _LANE - 1) // _LANE) * _LANE
+    # clamp the row tile so the block's VMEM footprint (input codes +
+    # u32 canon + u8 valid, plus kernel scratch) stays well under the
+    # 16 MB scoped-vmem budget even for long rows (contig windows,
+    # long reads)
+    row_bytes = Lpad + 4 * W * Ppad + Ppad
+    budget = 6 << 20
+    while TR > 8 and TR * row_bytes > budget:
+        TR -= 8
     Rpad = ((R + TR - 1) // TR) * TR
     codes_p = jnp.full((Rpad, Lpad), dna.INVALID_CODE, jnp.uint8)
     codes_p = codes_p.at[:R, :L].set(codes)

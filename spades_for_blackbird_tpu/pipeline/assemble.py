@@ -161,9 +161,14 @@ def assemble_single_k(codes, lengths, k: int,
         if extra_sequences:
             extra = [s for s in extra_sequences if len(s) > k]
             if extra:
-                ec, el = dna.encode_reads(extra)
+                # window-chop contigs to read-shaped rows so the count
+                # kernel compiles once per read shape and its VMEM blocks
+                # stay bounded (a whole-contig row of tens of kb blows
+                # the Pallas block budget)
+                ec, el = _windows_from_sequences(
+                    extra, int(np.asarray(codes).shape[1]), k + 1)
                 kp1 = counter.merge_tables(
-                    kp1, counter.count_kmers(ec, el, k + 1))
+                    kp1, counter.count_kmers_chunked(ec, el, k + 1))
         if min_kmer_count == "auto":  # --cov-cutoff auto
             min_kmer_count = max(2, int(ginfo.ec_bound))
         if min_kmer_count > 1:

@@ -423,64 +423,80 @@ def remove_rcc_components(g: Graph, v_space: int, *,
     Length bounds are in k-mers; local coverage uses edge flanks.
     Returns (graph, v_space, n_removed).
     """
-    hv = HostGraph(g, v_space)
-    ids = np.nonzero(hv.alive)[0]
-    order = ids[np.argsort(hv.cov[ids], kind="stable")]
+    from . import recondense as _recondense
     n_removed = 0
-    for e in order:
-        e = int(e)
-        if not hv.alive[e]:
-            continue
-        v = int(hv.start_v[e])
-        # outer-cycle guard (RelativeCovComponentFinder::operator():645)
-        if not hv.in_edges(v) or len(hv.out_edges(v)) < 2:
-            continue
-        base = hv.local_cov(e, v)
-        if not _any_highly_covered_both_sides(hv, v, base, coverage_gap):
-            continue
-        comp = _Component(hv, e)
-        failed = False
-        while comp.border:
-            if len(comp.inner) > vertex_count_limit:
-                failed = True
-                break
-            bv = min(comp.border)
-            # IsTerminateVertex (relative_coverage_remover.hpp:530)
-            base_cov = _max_local(
-                hv, [x for x in hv.incident(bv) if x in comp.edges], bv)
-            ins = [x for x in hv.in_edges(bv) if x not in comp.edges]
-            outs = [x for x in hv.out_edges(bv) if x not in comp.edges]
-            terminate = (
-                _max_local(hv, outs, bv) > base_cov * coverage_gap and
-                _max_local(hv, ins, bv) > base_cov * coverage_gap)
-            if terminate:
-                comp.terminating.add(bv)
-                comp.border.discard(bv)
-            else:
-                comp.make_inner(bv)
-                if bv in comp.terminating:
+    # PersistentProcessingAlgorithm re-queues the neighbourhood after
+    # every removal event (graph_support/parallel_processing.hpp:130),
+    # and the reference's EdgeRemover compresses the locality of every
+    # deletion on the spot (edge_removal.hpp:30-45
+    # RemoveIsolatedOrCompress) — merged edges carry recomputed
+    # length-weighted coverage and flanks, which later seeds see.
+    # Expressed here as whole-pass fixpoint iteration in coverage order
+    # with a recondense between passes.
+    progressed = True
+    while progressed:
+        progressed = False
+        hv = HostGraph(g, v_space)
+        ids = np.nonzero(hv.alive)[0]
+        order = ids[np.argsort(hv.cov[ids], kind="stable")]
+        n_before = n_removed
+        for e in order:
+            e = int(e)
+            if not hv.alive[e]:
+                continue
+            v = int(hv.start_v[e])
+            # outer-cycle guard (RelativeCovComponentFinder::operator():645)
+            if not hv.in_edges(v) or len(hv.out_edges(v)) < 2:
+                continue
+            base = hv.local_cov(e, v)
+            if not _any_highly_covered_both_sides(hv, v, base, coverage_gap):
+                continue
+            comp = _Component(hv, e)
+            failed = False
+            while comp.border:
+                if len(comp.inner) > vertex_count_limit:
                     failed = True
                     break
-        if failed:
-            continue
-        # FullCheck (ComponentChecker:442)
-        lcp = _longest_connecting_path(hv, comp)
-        if lcp is not None and lcp >= longest_connecting_path_bound:
-            continue
-        if not comp.contains_deadends and comp.cumm_length > length_bound:
-            continue
-        if comp.cumm_length > tip_allowing_length_bound:
-            continue
-        if len(comp.inner) > vertex_count_limit:
-            continue
-        if any(hv.cov[x] > max_coverage for x in comp.edges):
-            continue
-        for x in list(comp.edges):
-            if hv.alive[x]:
-                hv.kill(x)
-        n_removed += 1
-    gg, vs = hv.to_graph()
-    return gg, vs, n_removed
+                bv = min(comp.border)
+                # IsTerminateVertex (relative_coverage_remover.hpp:530)
+                base_cov = _max_local(
+                    hv, [x for x in hv.incident(bv) if x in comp.edges], bv)
+                ins = [x for x in hv.in_edges(bv) if x not in comp.edges]
+                outs = [x for x in hv.out_edges(bv) if x not in comp.edges]
+                terminate = (
+                    _max_local(hv, outs, bv) > base_cov * coverage_gap and
+                    _max_local(hv, ins, bv) > base_cov * coverage_gap)
+                if terminate:
+                    comp.terminating.add(bv)
+                    comp.border.discard(bv)
+                else:
+                    comp.make_inner(bv)
+                    if bv in comp.terminating:
+                        failed = True
+                        break
+            if failed:
+                continue
+            # FullCheck (ComponentChecker:442)
+            lcp = _longest_connecting_path(hv, comp)
+            if lcp is not None and lcp >= longest_connecting_path_bound:
+                continue
+            if not comp.contains_deadends and comp.cumm_length > length_bound:
+                continue
+            if comp.cumm_length > tip_allowing_length_bound:
+                continue
+            if len(comp.inner) > vertex_count_limit:
+                continue
+            if any(hv.cov[x] > max_coverage for x in comp.edges):
+                continue
+            for x in list(comp.edges):
+                if hv.alive[x]:
+                    hv.kill(x)
+            n_removed += 1
+        progressed = n_removed > n_before
+        g, v_space = hv.to_graph()
+        if progressed:
+            g = _recondense.recondense(g, v_space)
+    return g, v_space, n_removed
 
 
 # ---------------------------------------------------------------------
