@@ -25,6 +25,196 @@ class GenomicInfo:
     genome_size: int       # estimated distinct genomic k-mers
 
 
+# ---------------------------------------------------------------------
+# Reference-faithful mixture fit (kmer_coverage_model.cpp:58-310):
+# zero-truncated generalized-Pareto error component + zeta-weighted
+# skew-normal genomic copy series (copies 1..10), EM over the error
+# probability with Nelder-Mead maximization of the complete-data
+# log-likelihood inside each EM step.
+# ---------------------------------------------------------------------
+
+_MAX_COPY = 10
+
+
+def _smooth_3rs3r(y: np.ndarray) -> np.ndarray:
+    """Tukey 3RS3R-style running-median smoothing (math/smooth.hpp
+    Smooth3RS3R): repeated median-of-3 to fixpoint, twice."""
+    y = np.asarray(y, dtype=np.float64).copy()
+    if len(y) < 3:
+        return y
+    for _ in range(2):
+        for _ in range(30):
+            m = y.copy()
+            m[1:-1] = np.median(
+                np.stack([y[:-2], y[1:-1], y[2:]]), axis=0)
+            if np.array_equal(m, y):
+                break
+            y = m
+    return y
+
+
+def _perr(i: np.ndarray, scale: float, shape: float) -> np.ndarray:
+    """Discrete generalized-Pareto error pmf over multiplicities
+    (kmer_coverage_model.cpp:40-43)."""
+    with np.errstate(all="ignore"):
+        a = np.power(1.0 + shape * (i - 1.0) / scale, -1.0 / shape)
+        b = np.power(1.0 + shape * i / scale, -1.0 / shape)
+    return np.maximum(a - b, 1e-300)
+
+
+def _dzeta(copies: np.ndarray, p: float) -> np.ndarray:
+    """Zeta-distribution copy-number prior (cpp:36-38)."""
+    from scipy.special import zeta
+    return np.power(copies, -p - 1.0) / zeta(p + 1.0)
+
+
+def _pgood(i: np.ndarray, zp: float, u: float, sd: float,
+           shape2: float) -> np.ndarray:
+    """Copy-series density: sum over copy c of dzeta(c, zp) *
+    skew_normal(c*u, sd*sqrt(c), shape2).pdf(i) (cpp:45-56)."""
+    from scipy.stats import skewnorm
+    copies = np.arange(1, _MAX_COPY + 1, dtype=np.float64)
+    mix = _dzeta(copies, zp)
+    res = np.zeros_like(i, dtype=np.float64)
+    for c, m in zip(copies, mix):
+        res += m * skewnorm.pdf(i, shape2, loc=c * u,
+                                scale=sd * np.sqrt(c))
+    return np.maximum(res, 1e-300)
+
+
+def _em_loglike(x, hist, z, xs):
+    """CovModelLogLikeEM (cpp:99-147), negated for minimization."""
+    zp, shape, u, sd, scale, shape2 = x
+    if (zp <= 1 or shape <= 0 or sd <= 0 or u <= 0 or scale <= 0
+            or not np.all(np.isfinite(x))):
+        return np.inf
+    le = np.log(_perr(xs, scale, shape))
+    lg = np.log(_pgood(xs, zp, u, sd, shape2))
+    lg = np.where(np.isfinite(lg), lg, -1000.0)
+    res = np.sum(hist * (z * le + (1.0 - z) * lg))
+    return -res if np.isfinite(res) else np.inf
+
+
+def _e_step(x, p, xs):
+    zp, shape, u, sd, scale, shape2 = x
+    pe = p * _perr(xs, scale, shape)
+    z = pe / (pe + (1 - p) * _pgood(xs, zp, u, sd, shape2))
+    return np.where(np.isfinite(z), z, 1.0)
+
+
+def fit_reference_model(counts: np.ndarray,
+                        probability_threshold: float = 0.05,
+                        strong_probability_threshold: float = 0.999
+                        ) -> GenomicInfo | None:
+    """The full KMerCoverageModel::Fit flow (cpp:186-377): valley
+    detection on the smoothed histogram, median/MAD coverage init, EM
+    over the error fraction with Nelder-Mead over the 6 density params,
+    posterior-based threshold deduction, genome-size estimate.
+    Returns None when the fit fails to converge (callers fall back,
+    genomic_info_filler.cpp:56-62)."""
+    from scipy.optimize import minimize
+
+    counts = np.asarray(counts)
+    counts = counts[counts > 0]
+    if counts.size < 100:
+        return None
+    # hist[i] = # distinct k-mers with multiplicity i+1
+    bc = np.bincount(counts.astype(np.int64))[1:]
+    if len(bc) <= 10:
+        return None
+    hist = bc.astype(np.float64)
+
+    # EstimateValley (cpp:168-184): first minimum of the smoothed hist
+    scov = _smooth_3rs3r(hist)
+    valley = 0
+    idx = 1
+    while idx < len(scov) and scov[idx] < scov[valley]:
+        valley = idx
+        idx += 1
+
+    # first max after the valley, refined via median (cpp:192-221)
+    max_cov = valley + 1 + int(np.argmax(hist[valley + 1:]))
+    second_valley = min(2 * max_cov - valley, len(hist))
+    after_valley = hist[valley + 1:second_valley].sum()
+    ccov = 0.0
+    for i in range(valley + 1, second_valley):
+        if ccov > after_valley / 2:
+            max_cov = max(i, max_cov)
+            break
+        ccov += hist[i]
+
+    # MAD around the peak (cpp:223-240)
+    mvals = [hist[max_cov] if max_cov < len(hist) else 0.0]
+    for i in range(1, min(max_cov - valley, len(hist) - max_cov)):
+        mvals.append(hist[max_cov + i] + hist[max_cov - i])
+    tmad = float(np.sum(mvals))
+    cov_sd = np.sqrt(5.0 * max_cov)
+    madcov = 0.0
+    for i in range(min(len(mvals), max_cov - valley)):
+        if madcov > tmad / 2:
+            cov_sd = float(i)
+            break
+        madcov += mvals[i]
+    cov_sd *= 1.4826
+
+    total = hist.sum()
+    err_prob = float(hist[:valley + 1].sum() / total)
+    err_prob = min(max(err_prob, 1e-3), 1 - 1e-3)
+
+    x = np.array([3.0, 3.0, float(max_cov), max(cov_sd, 1.0), 1.0, 0.0])
+    good_n = min(len(hist), 5 * _MAX_COPY * max_cov // 4)
+    ghist = hist[:good_n]
+    xs = np.arange(1, good_n + 1, dtype=np.float64)
+
+    prev = 2.0
+    it = 1
+    while abs(prev - err_prob) > 1e-8 and it < 60:
+        z = _e_step(x, err_prob, xs)
+        prev = err_prob
+        err_prob = float(np.sum(z * ghist) / total)
+        last = abs(prev - err_prob) <= 1e-8
+        r = minimize(_em_loglike, x, args=(ghist, z, xs),
+                     method="Nelder-Mead",
+                     options={"maxiter": (2000 if last
+                                          else 5 * 6 * it * 4),
+                              "xatol": 1e-8, "fatol": 1e-8})
+        x = r.x
+        it += 1
+
+    zp, shape, u, sd, scale, shape2 = x
+    delta = shape2 / np.sqrt(1 + shape2 * shape2)
+    mean_coverage = u + sd * delta * np.sqrt(2 / np.pi)
+    converged = bool(np.all(np.isfinite(x)) and np.isfinite(err_prob))
+
+    if converged and valley > u and u > 2:
+        valley = int(round(u / 2.0))
+
+    low_threshold = 1
+    error_threshold = 0
+    if converged:
+        z = _e_step(x, err_prob, xs)
+        converged = False
+        for i in range(len(z)):
+            if z[i] > strong_probability_threshold:
+                low_threshold = min(i + 1, valley)
+            elif z[i] < probability_threshold:
+                error_threshold = max(i + 1, valley)
+                converged = True
+                break
+    if not converged:
+        return None
+    error_threshold = (min(valley + (int(mean_coverage) - valley) // 2,
+                           error_threshold)
+                       if valley < mean_coverage else valley)
+    genome_size = int(ghist[max(error_threshold - 1, 0):].sum()) // 2
+    return GenomicInfo(
+        ec_bound=float(error_threshold),
+        trusted_bound=float(low_threshold),
+        mean_coverage=float(mean_coverage),
+        genome_size=genome_size,
+    )
+
+
 def _nbinom_logpmf(x, mean, disp):
     """Negative binomial log-pmf parameterized by mean and dispersion r."""
     from math import lgamma
@@ -119,6 +309,12 @@ def fit_coverage_model(counts: np.ndarray, max_count: int = 256
     counts = counts[counts > 0]
     if counts.size == 0:
         return GenomicInfo(0.0, 0.0, 0.0, 0)
+    try:
+        fitted = fit_reference_model(counts)
+    except Exception:
+        fitted = None  # scipy edge cases: fall through like !converged_
+    if fitted is not None:
+        return fitted
     fitted = fit_mixture(counts)
     if fitted is not None:
         return fitted

@@ -15,7 +15,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..graph.graph import Graph
+from ..graph.graph import Graph, edge_mask
 from .resolver import PathSet
 
 
@@ -24,6 +24,17 @@ class ScaffoldParams:
     min_weight: float = 5.0       # pair support to accept a join
     max_gap: int = 10000
     min_gap_run: int = 1          # emitted N run is at least this long
+    # gap analysis (gap_analyzer.cpp; thresholds scale with the library
+    # insert-size variation, extenders_logic.cpp:86-108 MakeGapAnalyzer)
+    is_variation: float = 75.0
+    read_length: int = 100
+    # scaffolding anchors must be unique edges (ScaffoldingUniqueEdge
+    # Storage, scaff_supplementary.cpp:55-62) of at least this length
+    unique_length: int = 500
+    unique_variation: float = 0.5
+    # drop joins whose runner-up weight is within this factor of the
+    # best (ExtensionChooser2015 relative_weight_threshold_)
+    relative_weight_threshold: float = 2.0
 
 
 def scaffold_paths(g: Graph, ps: PathSet, paired,
@@ -55,9 +66,18 @@ def scaffold_paths(g: Graph, ps: PathSet, paired,
     # the graph's edge table. closure=False: each pair observation is
     # already canonical here, and the endpoint maps consider both path
     # orientations.
+    # joins anchor on UNIQUE edges only (ExtensionChooser2015 walks
+    # unique->unique connections; scaff_supplementary.cpp uniqueness =
+    # long + coverage within (1 +- var) of the long-edge median)
+    from . import unique_edges as ue
+    unique = ue.unique_edge_mask(g, params.unique_length,
+                                 params.unique_variation)
+    if not unique.any():  # tiny/synthetic graphs: anchor on any edge
+        unique = np.asarray(edge_mask(g))
     records = sgmod.paired_connection_records(
         g, paired, 0, min_weight=params.min_weight, left_delta=k,
-        right_delta=params.max_gap, closure=False)
+        right_delta=params.max_gap, closure=False,
+        unique_mask=unique | unique[conj])
     sg = sgmod.build_scaffold_graph(g, [records])
     if sg_out is not None:
         # the full (conjugate-closed, adjacency-annotated) structure,
@@ -72,23 +92,63 @@ def scaffold_paths(g: Graph, ps: PathSet, paired,
         p = paths[i]
         return [int(conj[e]) for e in reversed(p)] if flip else p
 
-    # endpoint maps over both orientations of every path
-    last_of: dict[int, tuple[int, bool]] = {}
-    first_of: dict[int, tuple[int, bool]] = {}
+    # endpoint maps over both orientations of every path, anchored on
+    # the LAST/FIRST UNIQUE edge (FindLastUniqueInPath,
+    # extension_chooser2015.cpp:10-17); the skipped non-unique tail/head
+    # length corrects the estimated gap at join time
+    seq_len_h = np.asarray(g.seq_len)
+    last_of: dict[int, tuple[int, bool, int]] = {}
+    first_of: dict[int, tuple[int, bool, int]] = {}
     for i in range(len(paths)):
         for flip in (False, True):
             op = oriented(i, flip)
-            last_of.setdefault(op[-1], (i, flip))
-            first_of.setdefault(op[0], (i, flip))
+            trail = 0
+            for e in reversed(op):
+                if unique[e]:
+                    last_of.setdefault(e, (i, flip, trail))
+                    break
+                trail += int(seq_len_h[e]) - k
+            else:
+                last_of.setdefault(op[-1], (i, flip, 0))
+            lead = 0
+            for e in op:
+                if unique[e]:
+                    first_of.setdefault(e, (i, flip, lead))
+                    break
+                lead += int(seq_len_h[e]) - k
+            else:
+                first_of.setdefault(op[0], (i, flip, 0))
 
     joins = []
     for j in range(sg.edge_count):
         a, b = int(sg.src[j]), int(sg.dst[j])
         if a in last_of and b in first_of:
-            (i, fi), (jdx, fj) = last_of[a], first_of[b]
+            (i, fi, trail), (jdx, fj, lead) = last_of[a], first_of[b]
             if i != jdx:
                 joins.append((float(sg.weight[j]), (i, fi), (jdx, fj),
-                              int(sg.gap[j])))
+                              int(sg.gap[j]) - trail - lead))
+
+    # relative-weight ambiguity rejection (extension_chooser2015.cpp:
+    # 44-54): a tail (or head) whose runner-up candidate weight is
+    # within relative_weight_threshold of the best is ambiguous — no
+    # join is made from it at all
+    by_src: dict[tuple[int, bool], list[float]] = {}
+    by_dst: dict[tuple[int, bool], list[float]] = {}
+    for w, src, dst, gap in joins:
+        by_src.setdefault(src, []).append(w)
+        by_dst.setdefault(dst, []).append(w)
+
+    def ambiguous(key, table, w):
+        ws = table[key]
+        if len(ws) < 2:
+            return False
+        top = sorted(ws, reverse=True)
+        return w < top[0] or \
+            top[1] * params.relative_weight_threshold > top[0]
+
+    joins = [(w, s, d, gp) for (w, s, d, gp) in joins
+             if not ambiguous(s, by_src, w)
+             and not ambiguous(d, by_dst, w)]
 
     joins.sort(key=lambda t: -t[0])
     used_tail = set()   # path ids whose (oriented) tail is taken
@@ -100,6 +160,22 @@ def scaffold_paths(g: Graph, ps: PathSet, paired,
         used_tail.add(src[0])
         used_head.add(dst[0])
         next_of[src] = (dst, gap)
+
+    # gap analysis per candidate join (CompositeGapAnalyzer::FixGap):
+    # look for an actual suffix/prefix overlap before committing Ns, and
+    # reject joins whose strongly-negative estimate finds no overlap
+    from . import gap_analyzer as ga
+    flat_h = np.asarray(g.seq_flat)
+    starts_h = np.asarray(g.seq_start)
+    lens_h = np.asarray(g.seq_len)
+    gparams = ga.GapAnalyzerParams(
+        basic_overlap=2 * params.read_length,
+        may_overlap_threshold=int(round(params.is_variation)),
+        must_overlap_threshold=-int(round(3.0 * params.is_variation)))
+
+    def edge_seq(e: int) -> np.ndarray:
+        return flat_h[starts_h[e]:starts_h[e] + lens_h[e]]
+
     for w, src, dst, gap in joins:
         if src[0] in used_tail or dst[0] in used_head:
             continue
@@ -108,6 +184,13 @@ def scaffold_paths(g: Graph, ps: PathSet, paired,
                 any(d[0] == src[0] and d[1] != src[1]
                     for d, _ in next_of.values()):
             continue
+        if gap != -k:  # graph-adjacent joins need no analysis
+            fixed = ga.composite_fix_gap(
+                edge_seq(oriented(*src)[-1]), edge_seq(oriented(*dst)[0]),
+                int(gap), k, gparams)
+            if fixed is ga.REJECT:
+                continue
+            gap = int(fixed)
         used_tail.add(src[0])
         used_head.add(dst[0])
         next_of[src] = (dst, gap)

@@ -113,7 +113,8 @@ def assemble_single_k(codes, lengths, k: int,
                       min_kmer_count: int = 1,
                       extra_sequences: list[str] | None = None,
                       restricted_sequences: list[str] | None = None,
-                      uneven_depth: bool = False) -> AssemblyResult:
+                      uneven_depth: bool = False,
+                      early_tip_clip: bool = True) -> AssemblyResult:
     """Assemble one read batch at a single K.
 
     Args:
@@ -154,8 +155,14 @@ def assemble_single_k(codes, lengths, k: int,
                     mesh, codes, lengths, k, extra_sequences, mc)
         g, v_space = compact_graph(g)
     else:
-        # Construction (+ coverage model on the (k+1)-mer spectrum)
-        kp1 = counter.count_kmers_chunked(codes, lengths, k + 1)
+        # Construction (+ coverage model on the (k+1)-mer spectrum).
+        # Trim to pow2(unique) right away: every downstream shape
+        # (vertex table, oriented-instance arrays, graph capacity)
+        # scales with TABLE CAPACITY, and the single-chunk count path
+        # otherwise leaves it at the raw stream bound (R*P rows — a
+        # 32 GB vertex-table intermediate at 800k reads).
+        kp1 = counter.trim_table(
+            counter.count_kmers_chunked(codes, lengths, k + 1))
         ginfo = coverage_model.fit_coverage_model(
             np.asarray(kp1.counts[:int(kp1.num)]))
         if extra_sequences:
@@ -167,15 +174,28 @@ def assemble_single_k(codes, lengths, k: int,
                 # the Pallas block budget)
                 ec, el = _windows_from_sequences(
                     extra, int(np.asarray(codes).shape[1]), k + 1)
-                kp1 = counter.merge_tables(
-                    kp1, counter.count_kmers_chunked(ec, el, k + 1))
+                kp1 = counter.trim_table(counter.merge_tables(
+                    kp1, counter.trim_table(
+                        counter.count_kmers_chunked(ec, el, k + 1))))
         if min_kmer_count == "auto":  # --cov-cutoff auto
             min_kmer_count = max(2, int(ginfo.ec_bound))
         if min_kmer_count > 1:
-            kp1 = counter.filter_min_count(kp1, min_kmer_count)
+            kp1 = counter.trim_table(
+                counter.filter_min_count(kp1, min_kmer_count))
         from ..kmers import extension
         from ..graph import condense
         vt = extension.build_vertex_table(kp1, k)
+        if early_tip_clip and read_length > k + 1:
+            # pre-graph tip clipping on the extension index shrinks the
+            # error (k+1)-mer table before graph capacity is committed
+            # (EarlyTipClipper phase, construction.cpp:292-318; bound
+            # defaults to RL - K)
+            from ..kmers import early_tips
+            kp1, n_tips = early_tips.clip_early_tips(
+                kp1, vt, k, read_length - k)
+            if n_tips:
+                kp1 = counter.trim_table(kp1)
+                vt = extension.build_vertex_table(kp1, k)
         g = condense.build_graph(kp1, vt, k)
         # trim the table-capacity-sized graph to compact power-of-two
         # shapes: simplification scatters and their compiles scale with
@@ -380,7 +400,12 @@ def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
         return contigs
     from ..path_extend import polisher, scaffolder
     merged = pair_info.merge_paired_indices(clustered_all)
-    chains = scaffolder.scaffold_paths(g, ps, merged,
+    # gap-analysis thresholds scale with the (largest) library IS
+    # variation (extenders_logic.cpp:105-107 MakeGapAnalyzer)
+    sparams = scaffolder.ScaffoldParams(
+        is_variation=max(float(s.is_stats.deviation) for s in specs),
+        read_length=max(s.read_length for s in specs))
+    chains = scaffolder.scaffold_paths(g, ps, merged, params=sparams,
                                        forced_joins=loop_joins,
                                        sg_out=scaffold_graph_out)
     # gap polishing: unique graph paths replace N runs

@@ -104,7 +104,8 @@ def _sc(cfg: AssemblyConfig) -> AssemblyConfig:
                    rcc_vertex_limit=30, rcc_max_ec_len_additive=30,
                    rcc_max_coverage_coeff=5.0,
                    her_enabled=True, her_unreliability_coeff=0.2,
-                   her_relative_threshold=5.0)
+                   her_relative_threshold=5.0,
+                   tec_enabled=True)
     return replace(cfg, mode="sc", simplify=simp, uneven_depth=True)
 
 

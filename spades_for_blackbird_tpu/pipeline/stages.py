@@ -192,7 +192,18 @@ class StageManager:
             self.log(f"== STAGE {stage.name}")
             with timetrace.scope(f"stage:{stage.name}"):
                 stage.fn(ctx)
-            self.log(f"== STAGE {stage.name} done in {time.time()-t0:.1f}s")
+            # peak RSS per stage like the reference's memory reporting
+            # (utils/perf/memory.hpp; the manual's per-stage RAM table,
+            # README.md:108-148)
+            try:
+                import resource
+                peak_gb = resource.getrusage(
+                    resource.RUSAGE_SELF).ru_maxrss / (1 << 20)
+                mem = f", peak RSS {peak_gb:.2f} GB"
+            except Exception:
+                mem = ""
+            self.log(f"== STAGE {stage.name} done in "
+                     f"{time.time()-t0:.1f}s{mem}")
             if self.checkpoints != "none":
                 sdir = os.path.join(self.saves_dir, stage.name)
                 ctx.save(sdir)

@@ -701,6 +701,111 @@ def _unique_path_len_lower_bound(hv: HostGraph, e: int, bound: int) -> int:
     return total
 
 
+def _bidir_unique_path_len(hv: HostGraph, e: int, bound: int) -> int:
+    """max(forward, backward) cumulative unique-path length through e
+    (PathLengthLowerBound + UniquePathFinder,
+    topological_edge_conditions.hpp:9-54)."""
+    back = _unique_path_len_lower_bound(hv, e, bound)
+    total = hv.len_k(e)
+    cur = e
+    guard = 0
+    while total < bound and guard < 1000:
+        v = int(hv.end_v[cur])
+        outs = hv.out_edges(v)
+        if len(outs) != 1 or len(hv.in_edges(v)) != 1:
+            break
+        cur = outs[0]
+        total += hv.len_k(cur)
+        guard += 1
+    return max(back, total)
+
+
+def _plausible_path_len(hv: HostGraph, e: int, limit: int,
+                        forward: bool) -> int:
+    """Longest path length starting with e within ``limit``
+    (PlausiblePathFinder, bounded DFS)."""
+    best = 0
+    stack = [(e, hv.len_k(e))]
+    seen = 0
+    while stack and seen < 512:
+        seen += 1
+        cur, ln = stack.pop()
+        best = max(best, ln)
+        if ln >= limit:
+            return best
+        v = int(hv.end_v[cur]) if forward else int(hv.start_v[cur])
+        nxt = hv.out_edges(v) if forward else hv.in_edges(v)
+        for o in nxt:
+            stack.append((o, ln + hv.len_k(o)))
+    return best
+
+
+def remove_topology_ec(g: Graph, v_space: int, *,
+                       max_ec_length: int,
+                       uniqueness_length: int = 1500,
+                       plausibility_length: int = 200
+                       ) -> tuple[Graph, int, int]:
+    """Topology-based erroneous-connection removal
+    (TopologyRemoveErroneousEdges, single_cell_simplification.hpp:43-57
+    + DefaultUniquenessPlausabilityCondition,
+    topological_edge_conditions.hpp:67-162): a short edge is removed
+    when, looking from either endpoint, the junction it hangs off has a
+    single UNIQUE incoming edge (unique path >= uniqueness_length) and
+    some OTHER outgoing edge with a PLAUSIBLE continuation
+    (path >= plausibility_length) — i.e. the edge contradicts a
+    confidently-unique genomic traversal.  Candidates are processed in
+    length order with the alternatives-presence guard; iterates to
+    fixpoint with recondense between passes.  Lengths in k-mers.
+    Returns (graph, v_space, n_removed)."""
+    from . import recondense as _recondense
+    n_removed = 0
+    progressed = True
+    while progressed:
+        progressed = False
+        hv = HostGraph(g, v_space)
+        ids = np.nonzero(hv.alive)[0]
+        lens = np.array([hv.len_k(int(e)) for e in ids])
+        order = ids[np.argsort(lens, kind="stable")]
+        n_before = n_removed
+        for e in order:
+            e = int(e)
+            if not hv.alive[e] or hv.len_k(e) > max_ec_length:
+                continue
+            vs_, ve_ = int(hv.start_v[e]), int(hv.end_v[e])
+            # AddAlternativesPresenceCondition
+            if len(hv.out_edges(vs_)) <= 1 or len(hv.in_edges(ve_)) <= 1:
+                continue
+
+            def fwd_check():
+                ins = hv.in_edges(vs_)
+                if len(ins) != 1 or _bidir_unique_path_len(
+                        hv, ins[0], uniqueness_length) < uniqueness_length:
+                    return False
+                return any(
+                    _plausible_path_len(hv, o, 2 * plausibility_length,
+                                        True) >= plausibility_length
+                    for o in hv.out_edges(vs_) if o != e)
+
+            def bwd_check():
+                outs = hv.out_edges(ve_)
+                if len(outs) != 1 or _bidir_unique_path_len(
+                        hv, outs[0], uniqueness_length) < uniqueness_length:
+                    return False
+                return any(
+                    _plausible_path_len(hv, o, 2 * plausibility_length,
+                                        False) >= plausibility_length
+                    for o in hv.in_edges(ve_) if o != e)
+
+            if fwd_check() or bwd_check():
+                hv.kill(e)
+                n_removed += 1
+        progressed = n_removed > n_before
+        g, v_space = hv.to_graph()
+        if progressed:
+            g = _recondense.recondense(g, v_space)
+    return g, v_space, n_removed
+
+
 def remove_hidden_ec(g: Graph, v_space: int, *,
                      uniqueness_length: int = 1500,
                      unreliability_threshold: float = 4.0,

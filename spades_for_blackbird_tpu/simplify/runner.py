@@ -78,6 +78,12 @@ class SimplifyConfig:
     complex_tc_max_edge_len: int = 100
     complex_tc_lb: float = 3.5
     complex_tc_rel_coverage: float = -1.0
+    # topology-based EC remover (tec; MDA mode only —
+    # topology_simplif_enabled, mda_mode.info:6)
+    tec_enabled: bool = False
+    tec_max_ec_len_additive: int = 20   # max_ec_length_coefficient
+    tec_uniqueness_length: int = 1500
+    tec_plausibility_length: int = 200
     # hidden-EC removers (her block; sc enables plain, meta the meta kind)
     her_enabled: bool = False
     her_meta: bool = False
@@ -238,6 +244,15 @@ def simplify_graph(g: Graph, v_space: int, ec_bound: float,
                              protected=(protected_fn(g)
                                         if protected_fn else None))
     g = recondense(g, v_space)
+
+    if cfg.tec_enabled:
+        # MDA topology simplification (simplification.cpp:83,224)
+        g, v_space, n = advanced.remove_topology_ec(
+            g, v_space, max_ec_length=k + cfg.tec_max_ec_len_additive,
+            uniqueness_length=cfg.tec_uniqueness_length,
+            plausibility_length=cfg.tec_plausibility_length)
+        if n:
+            g = recondense(g, v_space)
 
     if cfg.her_enabled or cfg.her_meta:
         g, v_space, n = advanced.remove_hidden_ec(

@@ -174,6 +174,19 @@ def _rcc(g, v_space):
     return recondense.recondense(g, v_space)
 
 
+def test_topology_ec_iter_unique_path():
+    # simplification_test.cpp:217-226 IterUniquePath: topology-based EC
+    # removal (uniqueness 1500, plausibility 200, max_ec_length_coeff
+    # 20) iterated to fixpoint -> 16 vertices
+    g, v_space = _load("topology_ec/iter_unique_path")
+    from spades_for_blackbird_tpu.simplify import advanced
+    g, v_space, n = advanced.remove_topology_ec(
+        g, v_space, max_ec_length=g.k + 20,
+        uniqueness_length=1500, plausibility_length=200)
+    assert n > 0
+    assert _n_vertices(g) == 16
+
+
 def test_relative_coverage_remover():
     # simplification_test.cpp:320-322: rel_cov_ec -> 12 vertices
     g, v_space = _load("rel_cov_ec/constructed_graph")
