@@ -34,6 +34,8 @@ def main(argv=None) -> int:
     ap.add_argument("--k", default=None, help="comma-separated K list")
     ap.add_argument("--only-assembler", action="store_true")
     ap.add_argument("--no-repeats", action="store_true")
+    ap.add_argument("--json-out", default=None,
+                    help="also write the result JSON to this file")
     args = ap.parse_args(argv)
 
     from spades_for_blackbird_tpu.utils import assess, simulate
@@ -104,7 +106,17 @@ def main(argv=None) -> int:
         srep = assess.assess(scaffolds, genome)
         out["scaffolds"] = {"n50": srep.n50, "ng50": srep.ng50,
                             "misassemblies": srep.misassemblies}
-    print(json.dumps(out))
+    try:
+        import resource
+        out["peak_rss_gb"] = round(resource.getrusage(
+            resource.RUSAGE_SELF).ru_maxrss / (1 << 20), 2)
+    except Exception:
+        pass
+    blob = json.dumps(out)
+    print(blob)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(blob + "\n")
     return 0
 
 
