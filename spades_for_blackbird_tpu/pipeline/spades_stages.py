@@ -163,15 +163,39 @@ def make_iteration(k: int, log, min_contig_length=None, simplify_cfg=None,
     return Stage(name or f"k{k}", run)
 
 
-def make_chromosome_removal(log, cfg):
+def make_chromosome_removal(log, cfg, output_dir=None):
+    """ChromosomeRemoval stage (projects/spades/chromosome_removal.cpp).
+
+    plasmid mode runs the iterated isolated pipeline
+    (chromosome_remover.cpp RunIsolatedPipeline); metaplasmid/metaviral
+    runs the rising-coverage-cutoff loop (pipeline.cpp:85-97) and dumps
+    per-cutoff suspicious components (components_NNNN.fasta)."""
     def run(ctx: PipelineContext):
         from ..models import plasmid
         from ..io import fasta
+        from ..graph.graph import edge_mask
         if ctx.graph is None:
             return
-        g = plasmid.remove_chromosomal(
-            ctx.graph, long_edge_threshold=cfg.plasmid_min_edge_length,
-            coverage_window=cfg.plasmid_coverage_uniformity)
+        params = plasmid.PlasmidParams(
+            long_edge_length=cfg.plasmid_min_edge_length,
+            relative_coverage=cfg.plasmid_coverage_uniformity)
+        if cfg.mode == "metaplasmid":
+            rounds = plasmid.metaplasmid_iterate(
+                ctx.graph, params, log=log)
+            for cov, _, susp in rounds:
+                if susp and output_dir:
+                    plasmid.write_component_fasta(
+                        os.path.join(output_dir,
+                                     f"components_{cov:04d}.fasta"),
+                        cov, susp)
+            # union of per-cutoff candidates: keep the last non-empty
+            # graph for circularity output (the reference emits contigs
+            # per cutoff; our final set is the surviving candidates)
+            g = next((g for _, g, _ in reversed(rounds)
+                      if np.asarray(edge_mask(g)).any()),
+                     rounds[-1][1] if rounds else ctx.graph)
+        else:
+            g = plasmid.run_isolated_pipeline(ctx.graph, params, log=log)
         ctx.graph = g
         ctx.contigs = fasta.graph_contigs(g, min_length=2 * g.k)
         log(f"chromosome removal: {len(ctx.contigs)} candidate edges left")
@@ -490,7 +514,8 @@ def build_stage_list(args, ks, log, cfg=None):
     if cfg.careful or getattr(args, "careful", False):
         stages.append(make_mismatch_correction(log))
     if cfg.chromosome_removal:
-        stages.append(make_chromosome_removal(log, cfg))
+        stages.append(make_chromosome_removal(log, cfg,
+                                              output_dir=args.output_dir))
     if getattr(args, "series_analysis", None):
         # before RR (pipeline.cpp:205-206)
         stages.append(make_series_analysis(args.series_analysis, log))

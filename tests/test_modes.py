@@ -50,19 +50,73 @@ def test_circular_contig_detection():
     assert seq in doubled or nd.rc(seq) in doubled
 
 
-def test_chromosome_removal_keeps_plasmid():
-    K = 15
-    chrom = random_dna(3000, 2)
-    plas = random_dna(350, 3)
+def _plasmid_graph(K=15, chrom_len=3000, plas_len=1500, seed=2):
+    chrom = random_dna(chrom_len, seed)
+    plas = random_dna(plas_len, seed + 1)
     wrap = plas + plas[:60]
-    reads = [chrom[i:i + 50] for i in range(0, 2950, 2)]          # ~25x
+    reads = [chrom[i:i + 50] for i in range(0, chrom_len - 50, 2)]  # ~25x
     reads += [wrap[i:i + 50] for i in range(0, len(wrap) - 50, 1)]  # ~50x
     codes, lengths = dna.encode_reads(reads)
-    g = construct.graph_from_reads(codes, lengths, K)
+    return construct.graph_from_reads(codes, lengths, K), plas
+
+
+def test_chromosome_removal_keeps_plasmid():
+    g, plas = _plasmid_graph()
     g2 = plasmid.remove_chromosomal(g, long_edge_threshold=1000,
                                     coverage_window=0.3)
     contigs = plasmid.circular_contigs(g2)
     circ = [c for c in contigs if c[2]]
-    assert len(circ) >= 1 and len(circ[0][0]) == 350
+    assert len(circ) >= 1 and len(circ[0][0]) == len(plas)
     # the 3000bp chromosome edge must be gone
     assert all(len(c[0]) < 2500 for c in contigs)
+
+
+def test_isolated_pipeline_filters_short_isolates():
+    """FilterSmallComponents: a sub-min_isolated_length circular and a
+    short linear leftover both get dropped; the real plasmid stays
+    (chromosome_remover.cpp:480-489 rule c)."""
+    K = 15
+    g, plas = _plasmid_graph()
+    # decoy: tiny 350bp circular (below min_isolated_length=1000)
+    tiny = random_dna(350, 9)
+    wrap = tiny + tiny[:60]
+    reads = [wrap[i:i + 50] for i in range(0, len(wrap) - 50, 1)]
+    from spades_for_blackbird_tpu.ops import dna as dna_ops
+    codes, lengths = dna_ops.encode_reads(reads)
+    g_tiny = construct.graph_from_reads(codes, lengths, K)
+    out = plasmid.run_isolated_pipeline(g)
+    contigs = plasmid.circular_contigs(out)
+    circ = [c for c in contigs if c[2]]
+    assert len(circ) == 1 and len(circ[0][0]) == len(plas)
+    out_tiny = plasmid.run_isolated_pipeline(g_tiny)
+    assert plasmid.circular_contigs(out_tiny) == []
+
+
+def test_metaplasmid_iterate_finds_suspicious_component():
+    """Rising-cutoff loop (pipeline.cpp:85-97): a 40x 2kb plasmid
+    surfaces as a suspicious component while cutoffs are low, and is
+    eliminated once the cutoff passes its coverage."""
+    K = 15
+    plas = random_dna(2000, 5)
+    wrap = plas + plas[:60]
+    reads = [wrap[i:i + 50] for i in range(0, len(wrap) - 50, 1)]  # ~50x
+    codes, lengths = dna.encode_reads(reads)
+    g = construct.graph_from_reads(codes, lengths, K)
+    rounds = plasmid.metaplasmid_iterate(g)
+    assert rounds, "no metaplasmid rounds ran"
+    early_susp = [susp for cov, _, susp in rounds if cov <= 20]
+    assert any(any(len(rec) > 0 for rec in susp) for susp in early_susp)
+    # the component's sequence really is the plasmid
+    found = False
+    for cov, _, susp in rounds:
+        for comp in susp:
+            for _, seq, length, _ in comp:
+                if length >= 2000 and (seq[:100] in (plas + plas)
+                                       or nd.rc(seq)[:100] in (plas + plas)):
+                    found = True
+    assert found
+    # once cutoff > 50x everything is gone
+    last_cov, last_g, _ = rounds[-1]
+    import numpy as _np
+    from spades_for_blackbird_tpu.graph.graph import edge_mask
+    assert last_cov > 50 or not _np.asarray(edge_mask(last_g)).any()
