@@ -84,6 +84,12 @@ class SimplifyConfig:
     tec_max_ec_len_additive: int = 20   # max_ec_length_coefficient
     tec_uniqueness_length: int = 1500
     tec_plausibility_length: int = 200
+    # max-flow EC remover (mfec block, simplification.info:228-234;
+    # disabled by default in every reference mode, opt-in)
+    mfec_enabled: bool = False
+    mfec_max_ec_len_additive: int = 30  # max_ec_length_coefficient
+    mfec_uniqueness_length: int = 1500
+    mfec_plausibility_length: int = 200
     # hidden-EC removers (her block; sc enables plain, meta the meta kind)
     her_enabled: bool = False
     her_meta: bool = False
@@ -253,6 +259,13 @@ def simplify_graph(g: Graph, v_space: int, ec_bound: float,
             plausibility_length=cfg.tec_plausibility_length)
         if n:
             g = recondense(g, v_space)
+
+    if cfg.mfec_enabled:
+        # MaxFlowRemoveErroneousEdges (simplification.cpp:87)
+        g, v_space, n = advanced.remove_max_flow_ec(
+            g, v_space, max_ec_length=k + cfg.mfec_max_ec_len_additive,
+            uniqueness_length=cfg.mfec_uniqueness_length,
+            plausibility_length=cfg.mfec_plausibility_length)
 
     if cfg.her_enabled or cfg.her_meta:
         g, v_space, n = advanced.remove_hidden_ec(

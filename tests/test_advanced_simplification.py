@@ -178,3 +178,48 @@ def test_flanking_coverage_present_and_merged():
     assert np.all(fl > 0)
     # uniform-ish coverage: flank should be within a factor of the mean
     assert np.all(fl < cov * 5 + 10)
+
+
+def test_max_flow_ec_removes_cross_edge():
+    """MaxFlowECRemover (mf_ec_remover.hpp:357-501): two unique-flanked
+    genomic paths with a spurious short cross edge between their
+    junctions; the complete 2-unit flow never routes through the cross
+    edge, whose endpoints land in different residual SCCs -> removed."""
+    a = random_dna(120, 31)
+    b = random_dna(120, 32)
+    c = random_dna(120, 33)
+    d = random_dna(120, 34)
+    g1 = a + b
+    g2 = c + d
+    cross = g1[120 - K:120] + g2[120:120 + K]  # junction->junction
+    reads = cover(g1, times=3) + cover(g2, times=3) + [cross, cross]
+    g, vs = build_graph(reads)
+    before = edge_set(g)
+    assert any(len(s) < 60 for s in before), "cross edge missing"
+    g2_, vs2, n = advanced.remove_max_flow_ec(
+        g, vs, max_ec_length=30, uniqueness_length=50,
+        plausibility_length=20)
+    assert n >= 1
+    after = edge_set(g2_)
+    assert not any(len(s) < 60 for s in after)
+    # genomic paths fully restored after recondense
+    assert any(s in (g1, nd.rc(g1)) for s in after)
+    assert any(s in (g2, nd.rc(g2)) for s in after)
+
+
+def test_max_flow_ec_incomplete_flow_no_deletion():
+    """With uniqueness pushed out of reach no sources/sinks exist, the
+    flow is not complete, and nothing is deleted (the reference skips
+    suspicious components, mf_ec_remover.hpp:483-486)."""
+    a = random_dna(120, 41)
+    b = random_dna(120, 42)
+    g1 = a + b
+    cross = g1[120 - K:120] + g1[:K]
+    reads = cover(g1, times=3) + [cross]
+    g, vs = build_graph(reads)
+    before = edge_set(g)
+    g2_, _, n = advanced.remove_max_flow_ec(
+        g, vs, max_ec_length=30, uniqueness_length=10_000,
+        plausibility_length=20)
+    assert n == 0
+    assert edge_set(g2_) == before
