@@ -120,3 +120,31 @@ def test_metaplasmid_iterate_finds_suspicious_component():
     import numpy as _np
     from spades_for_blackbird_tpu.graph.graph import edge_mask
     assert last_cov > 50 or not _np.asarray(edge_mask(last_g)).any()
+
+
+def test_cli_metaplasmid_smoke(tmp_path):
+    """metaplasmid CLI wiring: rising-cutoff chromosome removal emits
+    per-cutoff suspicious components (components_NNNN.fasta,
+    chromosome_remover.cpp:338) and the run completes."""
+    from spades_for_blackbird_tpu import cli
+    from spades_for_blackbird_tpu.utils import simulate
+
+    chrom = random_dna(4000, 21)
+    plas = random_dna(2000, 22)
+    wrap = plas + plas[:70]
+    reads = [chrom[i:i + 60] for i in range(0, len(chrom) - 60, 3)]  # ~20x
+    reads += [wrap[i:i + 60] for i in range(0, len(wrap) - 60, 1)]   # ~60x
+    fq = str(tmp_path / "reads.fastq.gz")
+    simulate.write_fastq(fq, reads, ["I" * len(r) for r in reads])
+    out = tmp_path / "out"
+    rc_code = cli.main(["-s", fq, "-o", str(out), "-k", "21",
+                        "--metaplasmid", "--only-assembler"])
+    assert rc_code == 0
+    comp_files = sorted(out.glob("components_*.fasta"))
+    assert comp_files, "no suspicious-component output written"
+    text = "".join(p.read_text() for p in comp_files)
+    assert "CUTOFF_" in text and "COMPONENT_" in text
+    # the plasmid sequence is among the emitted component edges
+    seqs = [l.strip() for l in text.splitlines() if not l.startswith(">")]
+    joined = "".join(seqs)
+    assert plas[:80] in joined + joined or nd.rc(plas)[:80] in joined + joined
