@@ -113,6 +113,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accepted for CLI compatibility (device-parallel)")
     p.add_argument("--memory", "-m", type=int, default=None,
                    help="accepted for CLI compatibility")
+    p.add_argument("--log-properties", default=None, metavar="FILE",
+                   help="per-component log levels (log.properties format; "
+                        "SPADES_TPU_LOG env overlays)")
     return p
 
 
@@ -145,11 +148,21 @@ def main(argv=None) -> int:
     os.makedirs(args.output_dir, exist_ok=True)
     log_f = open(os.path.join(args.output_dir, "spades.log"), "a")
 
-    def log(msg):
-        line = f"[{time.strftime('%H:%M:%S')}] {msg}"
-        print(line)
+    # leveled per-component logging (utils/logger/logger.hpp:161 +
+    # log.properties): console + spades.log writers; components below
+    # their threshold are silenced
+    from .utils import logger as logmod
+
+    def _file_writer(line):
         log_f.write(line + "\n")
         log_f.flush()
+
+    logmod.configure(properties_path=args.log_properties,
+                     writers=[lambda line: print(line), _file_writer])
+    pipeline_log = logmod.get_logger("pipeline")
+
+    def log(msg):
+        pipeline_log.info(msg)
 
     missing = [p for p in (args.pe1 + args.pe2 + args.mp1 + args.mp2 +
                            args.single +
