@@ -63,7 +63,7 @@ def main(argv=None) -> int:
     from spades_for_blackbird_tpu import cli
 
     run_dir = os.path.join(args.out, "asm")
-    cli_args = ["-1", f1, "-2", f2, "-o", run_dir]
+    cli_args = ["-1", f1, "-2", f2, "-o", run_dir, "--trace-time"]
     if args.k:
         cli_args += ["-k", args.k]
     if args.only_assembler:
@@ -112,6 +112,19 @@ def main(argv=None) -> int:
             resource.RUSAGE_SELF).ru_maxrss / (1 << 20), 2)
     except Exception:
         pass
+    trace_path = os.path.join(run_dir, "spades_time_trace.json")
+    if os.path.exists(trace_path):
+        # per-phase wall-clock totals (self-time excluded is fine here:
+        # leaf phases don't nest)
+        with open(trace_path) as f:
+            events = json.load(f)["traceEvents"]
+        phases = {}
+        for ev in events:
+            name = ev["name"]
+            phases[name] = round(phases.get(name, 0.0)
+                                 + ev["dur"] / 1e6, 1)
+        out["phases_s"] = dict(sorted(phases.items(),
+                                      key=lambda kv: -kv[1]))
     blob = json.dumps(out)
     print(blob)
     if args.json_out:

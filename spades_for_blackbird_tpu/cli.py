@@ -74,6 +74,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="metaplasmid/metaviral mode")
     p.add_argument("--rna", action="store_true",
                    help="RNA-seq mode (rnaSPAdes equivalent)")
+    p.add_argument("--rnaviral", action="store_true",
+                   help="viral RNA mode (rnaviralSPAdes equivalent)")
+    p.add_argument("--corona", action="store_true",
+                   help="coronaSPAdes mode (rnaviral pipeline + HMM "
+                        "domain graph; pass the HMM set via "
+                        "--custom-hmms)")
+    p.add_argument("--metaviral", action="store_true",
+                   help="metaviral mode (circular + linear viral "
+                        "candidates from a metagenome)")
+    p.add_argument("--moleculo", "--truseq", dest="moleculo",
+                   action="store_true",
+                   help="truSPAdes barcode-assembly mode "
+                        "(moleculo_mode.info)")
+    p.add_argument("--large-genome", dest="large_genome",
+                   action="store_true",
+                   help="large-genome mode (2015 scaffold-graph "
+                        "anchoring)")
     p.add_argument("--iontorrent", action="store_true",
                    help="IonTorrent data: homopolymer-space error "
                         "correction (ionhammer)")
@@ -204,8 +221,9 @@ def main(argv=None) -> int:
         timetrace.enable()
 
     from .pipeline.config import config_for_mode
-    mode_flags = [m for m in ("meta", "plasmid", "metaplasmid", "rna",
-                              "sc", "bio")
+    mode_flags = [m for m in ("meta", "plasmid", "metaplasmid",
+                              "metaviral", "rna", "rnaviral", "corona",
+                              "sc", "bio", "moleculo", "large_genome")
                   if getattr(args, m)]
     if len(mode_flags) > 1:
         print(f"error: conflicting mode flags: {mode_flags}",
@@ -216,6 +234,13 @@ def main(argv=None) -> int:
         print("error: --bio requires --custom-hmms <file-or-dir of .hmm "
               "models>", file=sys.stderr)
         return 2
+    if mode == "corona" and not args.custom_hmms:
+        # the reference bundles coronaspades_hmms (options_parser.py:937);
+        # the set ships out-of-tree here, so the domain stages are
+        # skipped unless a set is supplied
+        log("warning: --corona without --custom-hmms: HMM domain-graph "
+            "postprocessing skipped (supply the coronavirus HMM set "
+            "via --custom-hmms)")
     if args.custom_hmms and not os.path.exists(args.custom_hmms):
         print(f"error: --custom-hmms path not found: {args.custom_hmms}",
               file=sys.stderr)
@@ -264,7 +289,11 @@ def _mode_main(flag: str):
 main_meta = _mode_main("--meta")
 main_plasmid = _mode_main("--plasmid")
 main_metaplasmid = _mode_main("--metaplasmid")
+main_metaviral = _mode_main("--metaviral")
 main_rna = _mode_main("--rna")
+main_rnaviral = _mode_main("--rnaviral")
+main_corona = _mode_main("--corona")
+main_truspades = _mode_main("--moleculo")
 
 
 if __name__ == "__main__":

@@ -156,15 +156,65 @@ def _merge_stats_tables(ak, ac, alq, aq, an, bk, bc, blq, bq, bn):
     return uniq, counts.astype(jnp.int32), mlq, mqs, num
 
 
+def _spill_to_host(table: counter.KmerTable, stats: KmerQualStats):
+    import numpy as np
+    n = int(table.num)
+    return (np.asarray(table.kmers[:n]), np.asarray(table.counts[:n]),
+            np.asarray(stats.total_lq[:n]), np.asarray(stats.qual_sum[:n]))
+
+
+def _merge_spills_host(spills, k: int):
+    """Merge host-side spilled chunk tables: one lexsort over the
+    concatenated keys + segment reduceat of the statistics.  The HBM
+    analogue of the reference's disk-bucket merge
+    (kmer_index_builder.hpp:281-338) — device merges bound peak HBM,
+    oversize runs finish on the 100+ GB host."""
+    import numpy as np
+    kk = np.concatenate([s[0] for s in spills], axis=0)
+    cc = np.concatenate([s[1] for s in spills])
+    lq = np.concatenate([s[2] for s in spills])
+    qs = np.concatenate([s[3] for s in spills], axis=0)
+    order = np.lexsort(tuple(kk[:, w] for w in range(kk.shape[1] - 1,
+                                                     -1, -1)))
+    kk, cc, lq, qs = kk[order], cc[order], lq[order], qs[order]
+    new = np.empty(kk.shape[0], bool)
+    new[0] = True
+    np.any(kk[1:] != kk[:-1], axis=1, out=new[1:])
+    starts = np.nonzero(new)[0]
+    uniq = kk[starts]
+    counts = np.add.reduceat(cc.astype(np.int64), starts).astype(np.int32)
+    mlq = np.add.reduceat(lq.astype(np.float64), starts).astype(np.float32)
+    mqs = np.minimum(np.add.reduceat(qs.astype(np.float64), starts,
+                                     axis=0),
+                     float(QUAL_CAP)).astype(np.float32)
+    num = uniq.shape[0]
+    cap = 1 << max(1, num - 1).bit_length()
+    pad = cap - num
+    uniq = np.pad(uniq, ((0, pad), (0, 0)),
+                  constant_values=np.iinfo(np.uint32).max)
+    table = counter.KmerTable(jnp.asarray(uniq),
+                              jnp.asarray(np.pad(counts, (0, pad))),
+                              jnp.int32(num))
+    stats = KmerQualStats(
+        total_lq=jnp.asarray(np.pad(mlq, (0, pad))),
+        qual_sum=jnp.asarray(np.pad(mqs, ((0, pad), (0, 0)))))
+    return table, stats
+
+
 def count_kmers_stats_chunked(codes, lengths, quals, k: int,
-                              chunk: int = 1 << 15
+                              chunk: int = 1 << 15,
+                              device_cap_rows: int = 1 << 23
                               ) -> tuple[counter.KmerTable, KmerQualStats]:
     """`count_kmers_stats` over fixed-size read chunks: each chunk's
     (R*P)-row sort and (R*P, k) quality matrices stay bounded; chunk
     tables trim to their unique counts and merge with stat summation.
     This is the out-of-core path for real libraries (the reference
-    counts through disk buckets, kmer_data.cpp KMerDataCounter)."""
-    import numpy as np
+    counts through disk buckets, kmer_data.cpp KMerDataCounter).
+
+    When the accumulated device table would exceed ``device_cap_rows``
+    (the (2N, k) quality matrices of the on-device merge are the HBM
+    peak), the accumulator spills to host RAM and the spills merge once
+    at the end with a host lexsort + reduceat."""
     codes = jnp.asarray(codes)
     lengths = jnp.asarray(lengths)
     quals = jnp.asarray(quals)
@@ -173,6 +223,7 @@ def count_kmers_stats_chunked(codes, lengths, quals, k: int,
         table, stats = count_kmers_stats(codes, lengths, quals, k)
         return _trim_stats(table, stats)
     table = stats = None
+    spills = []
     for lo in range(0, R, chunk):
         hi = min(lo + chunk, R)
         c, l, q = codes[lo:hi], lengths[lo:hi], quals[lo:hi]
@@ -185,6 +236,9 @@ def count_kmers_stats_chunked(codes, lengths, quals, k: int,
         t, s = _trim_stats(t, s)
         if table is None:
             table, stats = t, s
+        elif table.capacity + t.capacity > device_cap_rows:
+            spills.append(_spill_to_host(table, stats))
+            table, stats = t, s
         else:
             uniq, counts, mlq, mqs, num = _merge_stats_tables(
                 table.kmers, table.counts, stats.total_lq,
@@ -193,6 +247,9 @@ def count_kmers_stats_chunked(codes, lengths, quals, k: int,
             table = counter.KmerTable(uniq, counts, num)
             stats = KmerQualStats(total_lq=mlq, qual_sum=mqs)
             table, stats = _trim_stats(table, stats)
+    if spills:
+        spills.append(_spill_to_host(table, stats))
+        table, stats = _merge_spills_host(spills, k)
     return table, stats
 
 

@@ -219,6 +219,7 @@ def _correct_reads_bayes(codes, lengths, quals, k: int,
     correct, iterated (projects/hammer/main.cpp:118-260 with
     count_do/cluster_do/bayes_do/expand_do/correct_do all on)."""
     from . import bayes
+    from ..utils.timetrace import scope as _scope
     codes = jnp.asarray(codes)
     lengths = jnp.asarray(lengths)
     quals = jnp.asarray(quals)
@@ -228,19 +229,25 @@ def _correct_reads_bayes(codes, lengths, quals, k: int,
         # chunked count: bounded (R*P)-row sorts; trimmed to pow2
         # unique capacity so the subclustering EM's (N, max_l, k, 4)
         # scores scale with distinct k-mers, not the raw stream
-        table, qstats = bayes.count_kmers_stats_chunked(
-            codes, lengths, quals, k)
-        clusters = cluster_kmers(
-            table.kmers, table.counts, table.num, k,
-            jnp.int32(2 ** 30), jnp.float32(0.0))  # topology only
-        sub = bayes.subcluster_kmers_chunked(
-            table.kmers, table.counts, table.num, qstats, clusters.rep, k)
-        solid = bayes.expand_solid_chunked(
-            codes, lengths, table, sub.solid, k)
-        res = _run_chunked(
-            lambda c, l: correct_batch_bayes(c, l, table, solid,
-                                             sub.center_bases, k),
-            codes, lengths)
+        with _scope("hammer_count", it=it):
+            table, qstats = bayes.count_kmers_stats_chunked(
+                codes, lengths, quals, k)
+        with _scope("hammer_cluster", it=it):
+            clusters = cluster_kmers(
+                table.kmers, table.counts, table.num, k,
+                jnp.int32(2 ** 30), jnp.float32(0.0))  # topology only
+        with _scope("hammer_subcluster", it=it):
+            sub = bayes.subcluster_kmers_chunked(
+                table.kmers, table.counts, table.num, qstats,
+                clusters.rep, k)
+        with _scope("hammer_expand", it=it):
+            solid = bayes.expand_solid_chunked(
+                codes, lengths, table, sub.solid, k)
+        with _scope("hammer_vote", it=it):
+            res = _run_chunked(
+                lambda c, l: correct_batch_bayes(c, l, table, solid,
+                                                 sub.center_bases, k),
+                codes, lengths)
         changed = int(res.changed_bases)
         total_changed += changed
         stats = {"iterations": it + 1, "changed_bases": total_changed,

@@ -304,18 +304,22 @@ def run_isolated_pipeline(g: Graph, params: PlasmidParams | None = None,
     """RunIsolatedPipeline (chromosome_remover.cpp:409-432)."""
     params = params or PlasmidParams()
     g, v_space = compact_graph(g)
-    g, chrom_cov, weights = remove_long_genomic_edges(
+    # old_vertex_weights reflect the INITIAL graph: the reference fills
+    # long_vertex_component_ only in the first RemoveLongGenomicEdges
+    # call (the external_cov < 1.0 branch, chromosome_remover.cpp:215),
+    # so later iterations must not overwrite them
+    g, chrom_cov, initial_weights = remove_long_genomic_edges(
         g, v_space, params, log=log)
     g = plasmid_simplify(g, v_space, params.long_edge_length)
     for _ in range(MAX_ITERATION_COUNT):
         before = _num_vertices(g)
-        g, _, weights = remove_long_genomic_edges(
+        g, _, _ = remove_long_genomic_edges(
             g, v_space, params, external_cov=chrom_cov, log=log)
         g = plasmid_simplify(g, v_space, params.long_edge_length)
         if _num_vertices(g) == before:
             break
     return filter_small_components(g, v_space, params, chrom_cov,
-                                   weights)
+                                   initial_weights)
 
 
 def tip_end_vertices(g: Graph) -> set[int]:
@@ -357,7 +361,8 @@ def suspicious_components(g: Graph, ext_limit: float,
             continue
         total_len = int(lens[members].sum())
         used_len = sum(int(lens[e]) for e in members
-                       if int(e) in used_edges)
+                       if int(e) in used_edges
+                       or int(conj[e]) in used_edges)
         if 2 * used_len > total_len:
             continue  # already covered by found circular paths
         avg = _weighted_median(covs[members], lens[members])
@@ -410,9 +415,17 @@ def metaplasmid_iterate(g: Graph, params: PlasmidParams | None = None,
     forbidden = tip_end_vertices(g)
     cov = params.additive_step
     rounds = []
+    # edges already emitted as plasmid candidates: the reference's
+    # used_edges container keeps a component found at one cutoff from
+    # re-emitting at every later cutoff below its coverage
+    # (OutputSuspiciousComponents '2 * used_len > total_len' dedup)
+    used_edges: set[int] = set()
     while cov < params.max_coverage_limit:
         g, susp = run_meta_pipeline(g, float(cov), params, forbidden,
-                                    log=log)
+                                    used_edges=used_edges, log=log)
+        for records in susp:
+            for eid, _seq, _len, _cov in records:
+                used_edges.add(int(eid))
         rounds.append((int(cov), g, susp))
         if log:
             log(f"metaplasmid cutoff {cov}: "

@@ -78,6 +78,14 @@ def encode_reads(seqs: list[str], max_len: int | None = None
 # Device-side code-array ops.
 # ---------------------------------------------------------------------------
 
+_RC_TABLE = str.maketrans("ACGTacgtN", "TGCAtgcaN")
+
+
+def revcomp_str(seq: str) -> str:
+    """Reverse-complement of an ASCII sequence string (host-side)."""
+    return seq.translate(_RC_TABLE)[::-1]
+
+
 def complement_codes(codes: jax.Array) -> jax.Array:
     """Complement 2-bit codes; INVALID stays INVALID."""
     comp = (3 - codes.astype(jnp.int32)).astype(codes.dtype)

@@ -19,6 +19,7 @@ from ..kmers import counter, coverage_model
 from ..simplify import runner
 from ..ops import kmer as kmer_ops
 from ..ops import dna
+from ..utils.timetrace import scope as _scope
 
 
 @dataclass
@@ -43,6 +44,70 @@ def _windows_from_sequences(seqs: list[str], width: int, k: int):
         for lo in range(0, len(s) - k + 1, stride):
             rows.append(s[lo:lo + width])
     return dna.encode_reads(rows)
+
+
+def _kmer_hash_np(words: np.ndarray) -> np.ndarray:
+    """NumPy mirror of parallel.kmer_exchange.kmer_hash (uint32 wrap)."""
+    h = np.full(words.shape[0], 0x9E3779B9, np.uint32)
+    for w in range(words.shape[1]):
+        h = (h ^ words[:, w]) * np.uint32(0x85EBCA6B)
+        h = h ^ (h >> np.uint32(13))
+    return h * np.uint32(0xC2B2AE35)
+
+
+def _early_tips_sharded(mesh, kk, cc, nn, k: int, read_length: int):
+    """Early tip clipping on the sharded (k+1)-mer table.
+
+    The chain-contraction clip (kmers/early_tips.py, the reference's
+    EarlyTipClipper construction phase, construction.cpp:292-318) needs
+    the global successor structure, so the hash-partitioned shards are
+    gathered to the host, clipped once with the single-device machinery,
+    and re-partitioned with the same ownership hash — keeping the
+    distributed build's output identical to the single-device path on
+    error-bearing reads."""
+    import jax.numpy as jnp
+    from ..kmers import counter as _counter, early_tips, extension
+    from ..parallel import mesh as mesh_mod
+
+    n_dev = mesh.shape[mesh_mod.READS_AXIS]
+    kk_h, cc_h, nn_h = np.asarray(kk), np.asarray(cc), np.asarray(nn)
+    per = kk_h.shape[0] // n_dev
+    rows = np.concatenate([kk_h[i * per:i * per + int(nn_h[i])]
+                           for i in range(n_dev)])
+    cnts = np.concatenate([cc_h[i * per:i * per + int(nn_h[i])]
+                           for i in range(n_dev)])
+    order = np.lexsort(tuple(rows[:, w]
+                             for w in range(rows.shape[1] - 1, -1, -1)))
+    rows, cnts = rows[order], cnts[order]
+    num = rows.shape[0]
+    cap = 1 << max(1, num - 1).bit_length()
+    table = _counter.KmerTable(
+        jnp.asarray(np.pad(rows, ((0, cap - num), (0, 0)),
+                           constant_values=np.iinfo(np.uint32).max)),
+        jnp.asarray(np.pad(cnts, (0, cap - num)).astype(np.int32)),
+        jnp.int32(num))
+    vt = extension.build_vertex_table(table, k)
+    table, n_tips = early_tips.clip_early_tips(
+        table, vt, k, read_length - k)
+    if not n_tips:
+        return kk, cc, nn
+    num = int(table.num)
+    rows = np.asarray(table.kmers[:num])
+    cnts = np.asarray(table.counts[:num])
+    owner = _kmer_hash_np(rows) % np.uint32(n_dev)
+    shard_rows = [rows[owner == d] for d in range(n_dev)]
+    shard_cnts = [cnts[owner == d] for d in range(n_dev)]
+    new_per = 1 << max(1, max(len(r) for r in shard_rows) - 1).bit_length()
+    out_k = np.full((n_dev * new_per, rows.shape[1]),
+                    np.iinfo(np.uint32).max, np.uint32)
+    out_c = np.zeros(n_dev * new_per, np.int32)
+    out_n = np.zeros(n_dev, np.int32)
+    for d in range(n_dev):
+        m = len(shard_rows[d])
+        out_k[d * new_per:d * new_per + m] = shard_rows[d]
+        out_c[d * new_per:d * new_per + m] = shard_cnts[d]
+        out_n[d] = m
+    return jnp.asarray(out_k), jnp.asarray(out_c), jnp.asarray(out_n)
 
 
 def _construct_distributed(mesh, codes, lengths, k: int,
@@ -161,10 +226,12 @@ def assemble_single_k(codes, lengths, k: int,
         # scales with TABLE CAPACITY, and the single-chunk count path
         # otherwise leaves it at the raw stream bound (R*P rows — a
         # 32 GB vertex-table intermediate at 800k reads).
-        kp1 = counter.trim_table(
-            counter.count_kmers_chunked(codes, lengths, k + 1))
-        ginfo = coverage_model.fit_coverage_model(
-            np.asarray(kp1.counts[:int(kp1.num)]))
+        with _scope("count_kmers", k=k):
+            kp1 = counter.trim_table(
+                counter.count_kmers_chunked(codes, lengths, k + 1))
+        with _scope("coverage_model_fit", k=k):
+            ginfo = coverage_model.fit_coverage_model(
+                np.asarray(kp1.counts[:int(kp1.num)]))
         if extra_sequences:
             extra = [s for s in extra_sequences if len(s) > k]
             if extra:
@@ -172,11 +239,12 @@ def assemble_single_k(codes, lengths, k: int,
                 # kernel compiles once per read shape and its VMEM blocks
                 # stay bounded (a whole-contig row of tens of kb blows
                 # the Pallas block budget)
-                ec, el = _windows_from_sequences(
-                    extra, int(np.asarray(codes).shape[1]), k + 1)
-                kp1 = counter.trim_table(counter.merge_tables(
-                    kp1, counter.trim_table(
-                        counter.count_kmers_chunked(ec, el, k + 1))))
+                with _scope("count_extra_contigs", k=k):
+                    ec, el = _windows_from_sequences(
+                        extra, int(np.asarray(codes).shape[1]), k + 1)
+                    kp1 = counter.trim_table(counter.merge_tables(
+                        kp1, counter.trim_table(
+                            counter.count_kmers_chunked(ec, el, k + 1))))
         if min_kmer_count == "auto":  # --cov-cutoff auto
             min_kmer_count = max(2, int(ginfo.ec_bound))
         if min_kmer_count > 1:
@@ -184,23 +252,26 @@ def assemble_single_k(codes, lengths, k: int,
                 counter.filter_min_count(kp1, min_kmer_count))
         from ..kmers import extension
         from ..graph import condense
-        vt = extension.build_vertex_table(kp1, k)
+        with _scope("vertex_table", k=k):
+            vt = extension.build_vertex_table(kp1, k)
         if early_tip_clip and read_length > k + 1:
             # pre-graph tip clipping on the extension index shrinks the
             # error (k+1)-mer table before graph capacity is committed
             # (EarlyTipClipper phase, construction.cpp:292-318; bound
             # defaults to RL - K)
             from ..kmers import early_tips
-            kp1, n_tips = early_tips.clip_early_tips(
-                kp1, vt, k, read_length - k)
-            if n_tips:
-                kp1 = counter.trim_table(kp1)
-                vt = extension.build_vertex_table(kp1, k)
-        g = condense.build_graph(kp1, vt, k)
-        # trim the table-capacity-sized graph to compact power-of-two
-        # shapes: simplification scatters and their compiles scale with
-        # edge capacity, not with the (k+1)-mer table
-        g, v_space = compact_graph(g)
+            with _scope("early_tips", k=k):
+                kp1, n_tips = early_tips.clip_early_tips(
+                    kp1, vt, k, read_length - k)
+                if n_tips:
+                    kp1 = counter.trim_table(kp1)
+                    vt = extension.build_vertex_table(kp1, k)
+        with _scope("condense", k=k):
+            g = condense.build_graph(kp1, vt, k)
+            # trim the table-capacity-sized graph to compact power-of-two
+            # shapes: simplification scatters and their compiles scale
+            # with edge capacity, not with the (k+1)-mer table
+            g, v_space = compact_graph(g)
 
     if uneven_depth:
         # meta/MDA: the spectrum mixture fit is unreliable under uneven
@@ -222,12 +293,14 @@ def assemble_single_k(codes, lengths, k: int,
         def protected_fn(gr):
             return jnp.asarray(
                 bio.fill_restricted_edges(gr, restricted_sequences))
-    g = runner.simplify_graph(g, v_space, ginfo.ec_bound, cfg,
-                              protected_fn=protected_fn)
+    with _scope("simplify", k=k):
+        g = runner.simplify_graph(g, v_space, ginfo.ec_bound, cfg,
+                                  protected_fn=protected_fn)
 
     if min_contig_length is None:
         min_contig_length = 2 * k
-    contigs = fasta.graph_contigs(g, min_length=min_contig_length)
+    with _scope("graph_contigs", k=k):
+        contigs = fasta.graph_contigs(g, min_length=min_contig_length)
     return AssemblyResult(
         contigs=contigs,
         genomic_info=ginfo,
@@ -330,8 +403,9 @@ def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
         # uses all edge combinations + split-read adjacency pairs.
         # Chunked: big libraries stream through fixed-shape chunks so
         # the (R, P) vote intermediates stay bounded.
-        ch1 = chain_map(codes1, lengths1)
-        ch2 = chain_map(c2rc, lengths2)
+        with _scope("rr_map_reads"):
+            ch1 = chain_map(codes1, lengths1)
+            ch2 = chain_map(c2rc, lengths2)
         m1 = first_placement(ch1)
         m2 = first_placement(ch2)
         stats = insert_size.estimate_insert_size(
@@ -351,7 +425,8 @@ def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
         if stats.count == 0:
             continue
         mean_l2 = float(np.asarray(lengths2).mean())
-        pi = pair_fill(ch1, ch2, int(round(stats.median - mean_l2)))
+        with _scope("rr_pair_fill"):
+            pi = pair_fill(ch1, ch2, int(round(stats.median - mean_l2)))
         spread = max(5, int(3 * stats.mad))
         if kind == "mp":
             # mate pairs: broad, multi-modal histograms -> multi-peak
@@ -390,7 +465,8 @@ def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
         contigs = fasta.graph_contigs(g, min_length=2 * k)
         return (contigs, contigs) if with_scaffolds else contigs
 
-    ps = resolver.resolve_paths_multi(g, specs)
+    with _scope("rr_resolve_paths"):
+        ps = resolver.resolve_paths_multi(g, specs)
     # tandem-repeat traversal after extension (launcher.cpp:301
     # TraverseLoops): joins surface as k+100 N gaps in scaffolds
     from ..path_extend import loop_traverser

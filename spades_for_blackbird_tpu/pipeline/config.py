@@ -18,7 +18,9 @@ from ..simplify.runner import SimplifyConfig
 from ..path_extend.resolver import PEParams
 
 
-MODES = ("isolate", "meta", "plasmid", "metaplasmid", "rna", "sc", "bio")
+MODES = ("isolate", "meta", "plasmid", "metaplasmid", "metaviral",
+         "rna", "rnaviral", "corona", "sc", "bio", "moleculo",
+         "large_genome")
 
 
 @dataclass
@@ -47,6 +49,14 @@ class AssemblyConfig:
     # graph-based finder instead of the spectrum mixture fit
     # (genomic_info_filler.cpp:31-45)
     uneven_depth: bool = False
+    # metaviral (metaviral_mode.info plasmid block): besides circular
+    # candidates also emit linear dead-end-bounded candidates
+    plasmid_output_linear: bool = False
+    plasmid_min_circular_length: int = 1000
+    plasmid_min_linear_length: int = 500
+    # scaffolding mode (pe_params scaffolding_mode; large_genome uses
+    # old_pe_2015 — 2015 scaffold-graph anchoring on unique edges only)
+    scaffolding_mode: str = "old"
 
 
 def _meta(cfg: AssemblyConfig) -> AssemblyConfig:
@@ -89,8 +99,11 @@ def _rna(cfg: AssemblyConfig) -> AssemblyConfig:
                    tip_clauses=((4.0, 100000.0, 0.5, 3.0),
                                 (2.0, 1.0, 10000.0)),
                    low_complexity_enabled=True)
+    # uneven_depth covers mda/rna/meta/metaextrachromosomal/rnaviral
+    # (config_struct.cpp:899-900)
     return replace(cfg, mode="rna", ks=cfg.ks or [33, 49],
-                   strand_specific=True, simplify=simp)
+                   strand_specific=True, simplify=simp,
+                   uneven_depth=True)
 
 
 def _sc(cfg: AssemblyConfig) -> AssemblyConfig:
@@ -109,6 +122,83 @@ def _sc(cfg: AssemblyConfig) -> AssemblyConfig:
     return replace(cfg, mode="sc", simplify=simp, uneven_depth=True)
 
 
+def _rnaviral(cfg: AssemblyConfig) -> AssemblyConfig:
+    # rnaviral_mode.info: two_step_rr false; subspecies bulge remover
+    # (:9-19: length_coeff 30, max_cov 1e6, max_relative_coverage 15,
+    # max_relative_delta 0.2, min_identity 0.9) expressed through the
+    # path-bulge pass; red disconnector (:21-27: diff_mult 10,
+    # unconditional 50, edge_sum 0); final_br disabled (:29-32).
+    # K ladder: rna values prefixed with 21
+    # (spades_stage.py:117-127 generateK_for_rnaviral).
+    simp = replace(cfg.simplify,
+                   bulge_length_coeff=30.0,
+                   bulge_max_coverage=1_000_000.0,
+                   bulge_max_rel_coverage=15.0,
+                   bulge_rel_delta=0.2,
+                   bulge_min_identity=0.9,
+                   final_br_enabled=False,
+                   red_enabled=True, red_diff_mult=10.0,
+                   red_unconditional_diff_mult=50.0,
+                   red_edge_sum=0)
+    return replace(cfg, mode="rnaviral", ks=cfg.ks or [21, 33, 49],
+                   simplify=simp, uneven_depth=True)
+
+
+def _corona(cfg: AssemblyConfig) -> AssemblyConfig:
+    # coronaSPAdes = rnaviral pipeline + HMM domain-graph postprocessing
+    # with the bundled coronavirus HMM set (options_parser.py:937
+    # hmms_path = coronaspades_hmms; hmm_mode() true -> the bio-style
+    # ExtractDomains/DomainGraphConstruction stages run). The HMM set
+    # itself ships out-of-tree; the CLI takes it via --custom-hmms.
+    cfg = _rnaviral(cfg)
+    return replace(cfg, mode="corona", domain_matching=True)
+
+
+def _metaviral(cfg: AssemblyConfig) -> AssemblyConfig:
+    # metaviral_mode.info: metaextrachromosomal pipeline like
+    # metaplasmid, but subspecies_br min_identity 0.7 and the plasmid
+    # block's output_linear true / min_circular 1000 / min_linear 500 —
+    # linear dead-end-bounded candidates are emitted too
+    # (contig_output_stage.cpp:221-240 GetTipScaffolds)
+    cfg = _meta(cfg)
+    simp = replace(cfg.simplify,
+                   bulge_length_coeff=30.0,
+                   bulge_max_coverage=1_000_000.0,
+                   bulge_max_rel_coverage=15.0,
+                   bulge_rel_delta=0.2,
+                   bulge_min_identity=0.7)
+    return replace(cfg, mode="metaviral", chromosome_removal=True,
+                   circular_output=True, simplify=simp,
+                   plasmid_output_linear=True,
+                   plasmid_min_circular_length=1000,
+                   plasmid_min_linear_length=500)
+
+
+def _moleculo(cfg: AssemblyConfig) -> AssemblyConfig:
+    # moleculo_mode.info (truSPAdes barcode assembly): tc "{tc_lb 2.5,
+    # cb 3, rctc 10000} {tc_lb 4.5, mmm 2}", br max_coverage 3, ec
+    # "{ec_lb 30, icb 3.1}", rcc (gap 20, coeffs 2/3, vcnt 30, ec_len 30,
+    # max_cov 5), her (1500, 0.2, 5), topology_simplif off
+    simp = replace(cfg.simplify,
+                   tip_clauses=((2.5, 3.0, 10000.0), (4.5, None, None, 2.0)),
+                   bulge_max_coverage=3.0,
+                   bulge_max_rel_coverage=100000.0,
+                   ec_lb_additive=30, ec_icb=3.1,
+                   rcc_enabled=True, rcc_coverage_gap=20.0,
+                   rcc_length_coeff=2.0, rcc_tip_allowing_coeff=3.0,
+                   rcc_vertex_limit=30, rcc_max_ec_len_additive=30,
+                   rcc_max_coverage_coeff=5.0,
+                   her_enabled=True, her_unreliability_coeff=0.2,
+                   her_relative_threshold=5.0)
+    return replace(cfg, mode="moleculo", simplify=simp)
+
+
+def _large_genome(cfg: AssemblyConfig) -> AssemblyConfig:
+    # large_genome_mode.info: only scaffolding_mode old_pe_2015
+    return replace(cfg, mode="large_genome",
+                   scaffolding_mode="old_pe_2015")
+
+
 def _bio(cfg: AssemblyConfig) -> AssemblyConfig:
     # biosyntheticSPAdes (bgc_mode.info): two-step RR with domain
     # extraction on preliminary contigs and restricted-edge protection
@@ -122,9 +212,14 @@ _OVERLAYS = {
     "meta": _meta,
     "plasmid": _plasmid,
     "metaplasmid": _metaplasmid,
+    "metaviral": _metaviral,
     "rna": _rna,
+    "rnaviral": _rnaviral,
+    "corona": _corona,
     "sc": _sc,
     "bio": _bio,
+    "moleculo": _moleculo,
+    "large_genome": _large_genome,
 }
 
 

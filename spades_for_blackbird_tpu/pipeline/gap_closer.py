@@ -54,15 +54,18 @@ def close_gaps(g: Graph, codes1, lengths1, codes2, lengths2,
     if not dead_end or not dead_start:
         return g, 0
 
-    idx = eidx.build_edge_index(g, k + 1)
+    from ..utils.timetrace import scope as _scope
+    with _scope("gc_build_index"):
+        idx = eidx.build_edge_index(g, k + 1)
     from ..mapping import chunked
     c2rc = dna.revcomp_reads(jnp.asarray(codes2), jnp.asarray(lengths2))
-    m1 = chunked.map_reads_chunked(idx, g.seq_len, jnp.asarray(codes1),
-                                   jnp.asarray(lengths1), k + 1)
-    m2 = chunked.map_reads_chunked(idx, g.seq_len, c2rc,
-                                   jnp.asarray(lengths2), k + 1)
-    m1 = mapper.normalize_mapping(m1, g.conj)
-    m2 = mapper.normalize_mapping(m2, g.conj)
+    with _scope("gc_map_reads"):
+        m1 = chunked.map_reads_chunked(idx, g.seq_len, jnp.asarray(codes1),
+                                       jnp.asarray(lengths1), k + 1)
+        m2 = chunked.map_reads_chunked(idx, g.seq_len, c2rc,
+                                       jnp.asarray(lengths2), k + 1)
+        m1 = mapper.normalize_mapping(m1, g.conj)
+        m2 = mapper.normalize_mapping(m2, g.conj)
 
     oe1 = np.asarray(m1.oriented_edge) // 2
     oe2 = np.asarray(m2.oriented_edge) // 2

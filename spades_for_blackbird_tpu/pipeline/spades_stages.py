@@ -174,12 +174,13 @@ def make_chromosome_removal(log, cfg, output_dir=None):
         from ..models import plasmid
         from ..io import fasta
         from ..graph.graph import edge_mask
+        from ..ops import dna
         if ctx.graph is None:
             return
         params = plasmid.PlasmidParams(
             long_edge_length=cfg.plasmid_min_edge_length,
             relative_coverage=cfg.plasmid_coverage_uniformity)
-        if cfg.mode == "metaplasmid":
+        if cfg.mode in ("metaplasmid", "metaviral"):
             rounds = plasmid.metaplasmid_iterate(
                 ctx.graph, params, log=log)
             for cov, _, susp in rounds:
@@ -188,16 +189,36 @@ def make_chromosome_removal(log, cfg, output_dir=None):
                         os.path.join(output_dir,
                                      f"components_{cov:04d}.fasta"),
                         cov, susp)
-            # union of per-cutoff candidates: keep the last non-empty
-            # graph for circularity output (the reference emits contigs
-            # per cutoff; our final set is the surviving candidates)
+            # the reference emits plasmid contigs per cutoff (ContigOutput
+            # after each ChromosomeRemoval round, pipeline.cpp:85-97), so
+            # the final set is the UNION of per-cutoff candidates —
+            # low-coverage plasmids eliminated at later cutoffs included —
+            # deduplicated by canonical sequence
             g = next((g for _, g, _ in reversed(rounds)
                       if np.asarray(edge_mask(g)).any()),
                      rounds[-1][1] if rounds else ctx.graph)
+            ctx.graph = g
+            seen = set()
+            union: list[tuple[str, float]] = []
+            for s, cov_ in fasta.graph_contigs(g, min_length=2 * g.k):
+                key = min(s, dna.revcomp_str(s))
+                if key not in seen:
+                    seen.add(key)
+                    union.append((s, cov_))
+            for _cut, _, susp in rounds:
+                for records in susp:
+                    for _eid, s, ln, cov_ in records:
+                        if ln < 2 * g.k:
+                            continue
+                        key = min(s, dna.revcomp_str(s))
+                        if key not in seen:
+                            seen.add(key)
+                            union.append((s, cov_))
+            ctx.contigs = union
         else:
             g = plasmid.run_isolated_pipeline(ctx.graph, params, log=log)
-        ctx.graph = g
-        ctx.contigs = fasta.graph_contigs(g, min_length=2 * g.k)
+            ctx.graph = g
+            ctx.contigs = fasta.graph_contigs(g, min_length=2 * g.k)
         log(f"chromosome removal: {len(ctx.contigs)} candidate edges left")
     return Stage("chromosome_removal", run)
 
@@ -449,6 +470,17 @@ def make_contig_output(output_dir: str, log, cfg=None):
                 os.path.join(output_dir, "contigs.circular.fasta"), circ)
             log(f"circular output: {sum(1 for _, _, c in circ if c)} "
                 f"circular of {len(circ)} candidates")
+            if cfg.plasmid_output_linear:
+                # metaviral (metaviral_mode.info output_linear true):
+                # linear dead-end-bounded candidates too
+                # (contig_output_stage.cpp:231-240 GetTipScaffolds)
+                linears = [(s, cv, False) for s, cv, c in circ
+                           if not c
+                           and len(s) >= cfg.plasmid_min_linear_length]
+                plasmid.write_plasmid_fasta(
+                    os.path.join(output_dir, "contigs.linears.fasta"),
+                    linears)
+                log(f"linear viral candidates: {len(linears)}")
         if ctx.graph is not None:
             gfa.write_gfa(os.path.join(
                 output_dir, "assembly_graph_with_scaffolds.gfa"), ctx.graph)

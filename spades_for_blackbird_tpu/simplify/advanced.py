@@ -1033,7 +1033,11 @@ def remove_max_flow_ec(g: Graph, v_space: int, *,
                 if plausible(e) or unique(e):
                     cap[(S, int(hv.end_v[e]))] += 1  # ProcessSource
                     src_total += 1
-        if src_total == 0 or snk_total == 0 or not inner:
+        # zero source/sink capacity still falls through: CheckCompleteFlow
+        # passes trivially (0 == 0) and the SCC colouring of the
+        # unmodified capacity graph removes acyclic suspicious edges in
+        # short-edge-only tangles, as in the reference (mf_ec_remover.hpp)
+        if not inner:
             continue
 
         flow: dict[tuple, int] = defaultdict(int)

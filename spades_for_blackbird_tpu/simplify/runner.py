@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph.graph import Graph
+from ..utils.timetrace import scope as _scope
 from . import passes
 from .recondense import recondense
 
@@ -58,6 +59,8 @@ class SimplifyConfig:
     bulge_max_rel_coverage: float = 1.1
     bulge_min_identity: float = 0.0
     path_bulge_enabled: bool = True
+    # final_br clause (rnaviral_mode.info:29-32 disables it)
+    final_br_enabled: bool = True
     # relative-coverage component removal (rcc block; meta/sc enable it;
     # lengths are read_length multiples, relative_coverage_remover.hpp
     # via graph_simplification.hpp:409-440)
@@ -156,21 +159,23 @@ def simplify_graph(g: Graph, v_space: int, ec_bound: float,
         ec_len = 2 * _tip_length(k, rl, cfg.ec_to_lb) - 1
     final_ec_threshold = cfg.ec_icb * auto_cb
 
-    for i in range(cfg.rounds):
-        # iterative threshold ramp (AlgorithmRunningHelper::
-        # IterativeThresholdsRun, graph_support/parallel_processing.hpp:161)
-        ec_thr = final_ec_threshold * (i + 1) / cfg.rounds
-        g = _clip_tips_clauses(g, v_space, cfg.tip_clauses, k, rl, auto_cb)
-        g = recondense(g, v_space)
-        g = passes.remove_bulges(g, v_space, jnp.int32(bulge_len),
-                                 jnp.float32(cfg.bulge_rel_delta),
-                                 jnp.float32(cfg.bulge_max_coverage),
-                                 protected=(protected_fn(g)
-                                            if protected_fn else None))
-        g = recondense(g, v_space)
-        g = passes.remove_erroneous_connections(
-            g, v_space, jnp.int32(ec_len), jnp.float32(ec_thr))
-        g = recondense(g, v_space)
+    with _scope("simplify_cycle", rounds=cfg.rounds):
+        for i in range(cfg.rounds):
+            # iterative threshold ramp (AlgorithmRunningHelper::
+            # IterativeThresholdsRun, parallel_processing.hpp:161)
+            ec_thr = final_ec_threshold * (i + 1) / cfg.rounds
+            g = _clip_tips_clauses(g, v_space, cfg.tip_clauses, k, rl,
+                                   auto_cb)
+            g = recondense(g, v_space)
+            g = passes.remove_bulges(g, v_space, jnp.int32(bulge_len),
+                                     jnp.float32(cfg.bulge_rel_delta),
+                                     jnp.float32(cfg.bulge_max_coverage),
+                                     protected=(protected_fn(g)
+                                                if protected_fn else None))
+            g = recondense(g, v_space)
+            g = passes.remove_erroneous_connections(
+                g, v_space, jnp.int32(ec_len), jnp.float32(ec_thr))
+            g = recondense(g, v_space)
 
     # --- post-simplification (PostSimplification order,
     # stages/simplification.cpp:230-330) ---
@@ -213,10 +218,11 @@ def simplify_graph(g: Graph, v_space: int, ec_bound: float,
             g = recondense(g, v_space)
 
     if cfg.complex_tc_enabled:
-        g, v_space, n = advanced.clip_complex_tips(
-            g, v_space, max_edge_len=cfg.complex_tc_max_edge_len,
-            max_path_len=_tip_length(k, rl, cfg.complex_tc_lb),
-            relative_coverage=cfg.complex_tc_rel_coverage)
+        with _scope("complex_tips"):
+            g, v_space, n = advanced.clip_complex_tips(
+                g, v_space, max_edge_len=cfg.complex_tc_max_edge_len,
+                max_path_len=_tip_length(k, rl, cfg.complex_tc_lb),
+                relative_coverage=cfg.complex_tc_rel_coverage)
         if n:
             g = recondense(g, v_space)
 
@@ -224,13 +230,14 @@ def simplify_graph(g: Graph, v_space: int, ec_bound: float,
         prot = None
         if protected_fn is not None:
             prot = np.asarray(protected_fn(g))
-        g, v_space, n = advanced.remove_path_bulges(
-            g, v_space, max_length=bulge_len,
-            max_coverage=cfg.bulge_max_coverage,
-            max_relative_coverage=cfg.bulge_max_rel_coverage,
-            max_relative_delta=cfg.bulge_rel_delta,
-            min_identity=cfg.bulge_min_identity,
-            protected=prot)
+        with _scope("path_bulges"):
+            g, v_space, n = advanced.remove_path_bulges(
+                g, v_space, max_length=bulge_len,
+                max_coverage=cfg.bulge_max_coverage,
+                max_relative_coverage=cfg.bulge_max_rel_coverage,
+                max_relative_delta=cfg.bulge_rel_delta,
+                min_identity=cfg.bulge_min_identity,
+                protected=prot)
         if n:
             g = recondense(g, v_space)
 
@@ -241,15 +248,16 @@ def simplify_graph(g: Graph, v_space: int, ec_bound: float,
         if nb:
             g = recondense(g, v_space)
 
-    # final tip clipper + bulge pass
+    # final tip clipper + bulge pass (final_br; rnaviral disables it)
     g = _clip_tips_clauses(g, v_space, cfg.final_tip_clauses, k, rl, auto_cb)
     g = recondense(g, v_space)
-    g = passes.remove_bulges(g, v_space, jnp.int32(bulge_len),
-                             jnp.float32(cfg.bulge_rel_delta),
-                             jnp.float32(cfg.bulge_max_coverage),
-                             protected=(protected_fn(g)
-                                        if protected_fn else None))
-    g = recondense(g, v_space)
+    if cfg.final_br_enabled:
+        g = passes.remove_bulges(g, v_space, jnp.int32(bulge_len),
+                                 jnp.float32(cfg.bulge_rel_delta),
+                                 jnp.float32(cfg.bulge_max_coverage),
+                                 protected=(protected_fn(g)
+                                            if protected_fn else None))
+        g = recondense(g, v_space)
 
     if cfg.tec_enabled:
         # MDA topology simplification (simplification.cpp:83,224)

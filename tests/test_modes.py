@@ -148,3 +148,86 @@ def test_cli_metaplasmid_smoke(tmp_path):
     seqs = [l.strip() for l in text.splitlines() if not l.startswith(">")]
     joined = "".join(seqs)
     assert plas[:80] in joined + joined or nd.rc(plas)[:80] in joined + joined
+
+
+def test_mode_overlays_viral_family():
+    """rnaviral/corona/metaviral/moleculo/large_genome overlays
+    (config_struct.hpp:38-50 enum + *_mode.info parameter provenance)."""
+    rv = config_for_mode("rnaviral")
+    assert rv.ks == [21, 33, 49]          # generateK_for_rnaviral
+    assert not rv.two_step_rr
+    assert rv.simplify.bulge_min_identity == 0.9   # subspecies_br
+    assert rv.simplify.bulge_max_rel_coverage == 15.0
+    assert not rv.simplify.final_br_enabled
+    assert rv.simplify.red_enabled and rv.simplify.red_edge_sum == 0
+    assert rv.uneven_depth
+
+    co = config_for_mode("corona")
+    assert co.domain_matching                      # hmm_mode()
+    assert co.ks == [21, 33, 49]
+
+    mv = config_for_mode("metaviral")
+    assert mv.chromosome_removal and mv.circular_output
+    assert mv.plasmid_output_linear                # output_linear true
+    assert mv.plasmid_min_linear_length == 500
+    assert mv.simplify.bulge_min_identity == 0.7   # metaviral subspecies_br
+
+    mo = config_for_mode("moleculo")
+    assert mo.simplify.ec_icb == 3.1               # { ec_lb 30, icb 3.1 }
+    assert mo.simplify.ec_lb_additive == 30
+    assert mo.simplify.rcc_coverage_gap == 20.0
+    assert mo.simplify.bulge_max_coverage == 3.0
+
+    lg = config_for_mode("large_genome")
+    assert lg.scaffolding_mode == "old_pe_2015"
+
+
+def test_cli_rnaviral_smoke(tmp_path):
+    """rnaviral CLI wiring: a toy viral genome assembles through the
+    rnaviral mode overlay (rnaviral_mode.info) end to end."""
+    from spades_for_blackbird_tpu import cli
+    from spades_for_blackbird_tpu.utils import simulate
+
+    genome = random_dna(3000, 31)
+    reads = [genome[i:i + 60] for i in range(0, len(genome) - 60, 2)]
+    fq = str(tmp_path / "reads.fastq.gz")
+    simulate.write_fastq(fq, reads, ["I" * len(r) for r in reads])
+    out = tmp_path / "out"
+    rc_code = cli.main(["-s", fq, "-o", str(out), "-k", "21",
+                        "--rnaviral", "--only-assembler"])
+    assert rc_code == 0
+    seqs, cur = [], []
+    for line in (out / "contigs.fasta").read_text().splitlines():
+        if line.startswith(">"):
+            if cur:
+                seqs.append("".join(cur))
+            cur = []
+        else:
+            cur.append(line.strip())
+    if cur:
+        seqs.append("".join(cur))
+    best = max(seqs, key=len)
+    assert len(best) >= 2500
+    assert best[:80] in genome or nd.rc(best)[:80] in genome
+
+
+def test_cli_metaviral_smoke(tmp_path):
+    """metaviral CLI wiring: chromosome removal runs and the distinct
+    linear-candidate output (contigs.linears.fasta,
+    contig_output_stage.cpp:231-240) is written."""
+    from spades_for_blackbird_tpu import cli
+    from spades_for_blackbird_tpu.utils import simulate
+
+    chrom = random_dna(4000, 41)
+    plas = random_dna(2000, 42)
+    wrap = plas + plas[:70]
+    reads = [chrom[i:i + 60] for i in range(0, len(chrom) - 60, 3)]
+    reads += [wrap[i:i + 60] for i in range(0, len(wrap) - 60, 1)]
+    fq = str(tmp_path / "reads.fastq.gz")
+    simulate.write_fastq(fq, reads, ["I" * len(r) for r in reads])
+    out = tmp_path / "out"
+    rc_code = cli.main(["-s", fq, "-o", str(out), "-k", "21",
+                        "--metaviral", "--only-assembler"])
+    assert rc_code == 0
+    assert (out / "contigs.circular.fasta").exists()
+    assert (out / "contigs.linears.fasta").exists()
