@@ -19,7 +19,10 @@ import numpy as np
 
 from ..kmers import counter, coverage_model
 from ..ops import dna, kmer, segments
+from ..utils.logger import get_logger
 from .cluster import HammerClusters, cluster_kmers
+
+_log = get_logger("Hammer")
 
 
 class CorrectionResult(NamedTuple):
@@ -253,6 +256,8 @@ def _correct_reads_bayes(codes, lengths, quals, k: int,
         stats = {"iterations": it + 1, "changed_bases": total_changed,
                  "solid_kmers": int(jnp.sum(solid)),
                  "mode": "bayes"}
+        _log.debug(f"iteration {it + 1}: {changed} bases changed, "
+                   f"{stats['solid_kmers']} solid k-mers")
         codes = res.codes
         if changed == 0:
             break

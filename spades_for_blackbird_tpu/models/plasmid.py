@@ -31,6 +31,9 @@ import numpy as np
 
 from ..graph.graph import Graph, compact_graph, edge_mask
 from ..ops import dna
+from ..utils.logger import get_logger
+
+_log = get_logger("ChromosomeRemover")
 
 # chromosome_remover.cpp:142 — long edges in a small, deadend-free
 # component are spared (potential mega-plasmid).
@@ -303,6 +306,7 @@ def run_isolated_pipeline(g: Graph, params: PlasmidParams | None = None,
                           log=None) -> Graph:
     """RunIsolatedPipeline (chromosome_remover.cpp:409-432)."""
     params = params or PlasmidParams()
+    log = log or _log.info
     g, v_space = compact_graph(g)
     # old_vertex_weights reflect the INITIAL graph: the reference fills
     # long_vertex_component_ only in the first RemoveLongGenomicEdges
@@ -411,6 +415,7 @@ def metaplasmid_iterate(g: Graph, params: PlasmidParams | None = None,
     until 600; each round removes sub-cutoff coverage and yields
     (cutoff, graph, suspicious_components)."""
     params = params or PlasmidParams()
+    log = log or _log.debug
     g, _ = compact_graph(g)
     forbidden = tip_end_vertices(g)
     cov = params.additive_step

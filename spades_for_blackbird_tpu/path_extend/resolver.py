@@ -37,6 +37,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..graph.graph import Graph, edge_mask
+from ..utils.logger import get_logger
 
 
 @dataclass
@@ -316,6 +317,9 @@ class SimpleChooser:
         if max_w < self.weight_threshold:
             return []
         return [c for c in cands if weights[c] >= max_w / self.priority]
+
+
+_log = get_logger("PathExtend")
 
 
 def _adjacency(g: Graph):

@@ -29,6 +29,9 @@ from __future__ import annotations
 import numpy as np
 
 from ..graph.graph import Graph, edge_mask
+from ..utils.logger import get_logger
+
+_log = get_logger("Simplification")
 
 
 class Range:
@@ -804,6 +807,283 @@ def remove_topology_ec(g: Graph, v_space: int, *,
         if progressed:
             g = _recondense.recondense(g, v_space)
     return g, v_space, n_removed
+
+
+def _conj_vertex(hv: HostGraph, v: int) -> int | None:
+    """Conjugate vertex id: via any incident edge's conjugate
+    (the reference's g.conjugate(VertexId))."""
+    for e in hv.out_edges(v):
+        return int(hv.end_v[hv.conj[e]])
+    for e in hv.in_edges(v):
+        return int(hv.start_v[hv.conj[e]])
+    return None
+
+
+def remove_tr_ec(g: Graph, v_space: int, *,
+                 max_ec_length: int,
+                 uniqueness_length: int = 1500,
+                 unreliable_coverage: float = 2.5
+                 ) -> tuple[Graph, int, int]:
+    """Topology-and-reliable-coverage EC removal
+    (TopologyReliabilityRemoveErroneousEdges,
+    single_cell_simplification.hpp:99-116 + trec block,
+    simplification.info:212-217): a short low-coverage edge hanging off
+    a junction whose single incoming edge lies on a unique path >=
+    uniqueness_length, with any other outgoing edge present
+    (plausibility AlwaysTrue), is removed in length order with the
+    alternatives-presence guard.  Returns (graph, v_space, n)."""
+    from . import recondense as _recondense
+    hv = HostGraph(g, v_space)
+    ids = np.nonzero(hv.alive)[0]
+    order = ids[np.argsort([hv.len_k(int(e)) for e in ids],
+                           kind="stable")]
+    n_removed = 0
+    for e in order:
+        e = int(e)
+        if (not hv.alive[e] or hv.len_k(e) > max_ec_length
+                or hv.cov[e] >= unreliable_coverage):
+            continue
+        vs_, ve_ = int(hv.start_v[e]), int(hv.end_v[e])
+        if len(hv.out_edges(vs_)) <= 1 or len(hv.in_edges(ve_)) <= 1:
+            continue  # AddAlternativesPresenceCondition
+
+        def fwd():
+            ins = hv.in_edges(vs_)
+            if len(ins) != 1 or _bidir_unique_path_len(
+                    hv, ins[0], uniqueness_length) < uniqueness_length:
+                return False
+            return any(o != e for o in hv.out_edges(vs_))
+
+        def bwd():
+            outs = hv.out_edges(ve_)
+            if len(outs) != 1 or _bidir_unique_path_len(
+                    hv, outs[0], uniqueness_length) < uniqueness_length:
+                return False
+            return any(o != e for o in hv.in_edges(ve_))
+
+        if fwd() or bwd():
+            hv.kill(e)
+            n_removed += 1
+    g2, vs = hv.to_graph()
+    if n_removed:
+        g2 = _recondense.recondense(g2, vs)
+    return g2, vs, n_removed
+
+
+def remove_thorns(g: Graph, v_space: int, *,
+                  max_ec_length: int,
+                  uniqueness_length: int = 1500,
+                  span_distance: int = 15000) -> tuple[Graph, int, int]:
+    """Interstrand EC ("thorn") removal (RemoveThorns,
+    single_cell_simplification.hpp:78-97 + isec block,
+    simplification.info:220-225): MDA chimeras connecting a repeat
+    instance to the reverse strand.  Candidate short edges are processed
+    in coverage order; a thorn must pass
+    TopologicalThornCondition (erroneous_connection_remover.hpp:201-251:
+    degree pattern 1-in/2-out at start, 2-in/1-out at end, and a path of
+    length <= span_distance from start to the conjugate of its end
+    vertex) and AdditionalMDAThornCondition (:253-310: a unique long
+    flank, or every short incident alternative is >= 15x its coverage).
+    Returns (graph, v_space, n)."""
+    from . import recondense as _recondense
+    hv = HostGraph(g, v_space)
+    ids = np.nonzero(hv.alive)[0]
+    order = ids[np.argsort([hv.cov[int(e)] for e in ids],
+                           kind="stable")]
+
+    def degree_ok(e: int) -> bool:
+        vs_, ve_ = int(hv.start_v[e]), int(hv.end_v[e])
+        if vs_ == ve_:
+            return False
+        return (len(hv.out_edges(vs_)) == 2
+                and len(hv.in_edges(vs_)) == 1
+                and len(hv.out_edges(ve_)) == 1
+                and len(hv.in_edges(ve_)) == 2)
+
+    def span_path_exists(e: int) -> bool:
+        # bounded BFS EdgeStart(e) -> conjugate(EdgeEnd(e)) within
+        # span_distance (ProcessPaths in TopologicalThornCondition)
+        vs_ = int(hv.start_v[e])
+        target = _conj_vertex(hv, int(hv.end_v[e]))
+        if target is None:
+            return False
+        if vs_ == target:
+            return True
+        import heapq
+        dist = {vs_: 0}
+        heap = [(0, vs_)]
+        seen = 0
+        while heap and seen < 4096:
+            seen += 1
+            d, v = heapq.heappop(heap)
+            if d > dist.get(v, 1 << 60):
+                continue
+            for o in hv.out_edges(v):
+                nd = d + hv.len_k(o)
+                if nd > span_distance:
+                    continue
+                w = int(hv.end_v[o])
+                if w == target:
+                    return True
+                if nd < dist.get(w, 1 << 60):
+                    dist[w] = nd
+                    heapq.heappush(heap, (nd, w))
+        return False
+
+    def unique_flank(e: int) -> bool:
+        vs_ = int(hv.start_v[e])
+        ins = hv.in_edges(vs_)
+        if len(ins) == 1 and hv.len_k(ins[0]) >= uniqueness_length:
+            return True
+        # CheckUnique(conjugate(EdgeEnd(e))): unique incoming at the
+        # conjugate vertex == unique outgoing at the end vertex
+        ve_ = int(hv.end_v[e])
+        outs = hv.out_edges(ve_)
+        return len(outs) == 1 and hv.len_k(outs[0]) >= uniqueness_length
+
+    def ec_around(e: int) -> bool:
+        base_cov = max(hv.cov[e], 1e-9)
+        for v in (int(hv.start_v[e]), int(hv.end_v[e])):
+            for o in hv.incident(v):
+                if o == e:
+                    continue
+                if (hv.len_k(o) < 400
+                        and hv.cov[o] / base_cov < 15.0):
+                    return False
+        return True
+
+    n_removed = 0
+    for e in order:
+        e = int(e)
+        if not hv.alive[e] or hv.len_k(e) > max_ec_length:
+            continue
+        vs_, ve_ = int(hv.start_v[e]), int(hv.end_v[e])
+        if len(hv.out_edges(vs_)) <= 1 or len(hv.in_edges(ve_)) <= 1:
+            continue  # alternatives-presence (coverage-order variant)
+        if not degree_ok(e):
+            continue
+        if not (unique_flank(e) or ec_around(e)):
+            continue
+        # micro-shortcut: conjugate(EdgeStart) == EdgeEnd passes without
+        # the path search (erroneous_connection_remover.hpp:238-240)
+        if _conj_vertex(hv, vs_) == ve_ or span_path_exists(e):
+            hv.kill(e)
+            n_removed += 1
+    g2, vs = hv.to_graph()
+    if n_removed:
+        g2 = _recondense.recondense(g2, vs)
+    return g2, vs, n_removed
+
+
+def _multiplicity_count(hv: HostGraph, e: int, start: int,
+                        uniqueness_length: int,
+                        max_depth: int = 8) -> int:
+    """MultiplicityCounter::count
+    (topological_edge_conditions.hpp:166-244): balance of unique long
+    incoming vs outgoing edges reachable from ``start`` through short
+    edges, skipping ``e``; -1 (here: a large sentinel) when undecidable."""
+    INVALID = 1 << 30
+    result = [0, 0]  # [unique long incoming, unique long outgoing]
+    was: set[int] = set()
+
+    def search(a: int, depth: int) -> bool:
+        if depth > max_depth:
+            return False
+        if a in was:
+            return True
+        was.add(a)
+        if not hv.out_edges(a) or not hv.in_edges(a):
+            return False
+        for o in hv.out_edges(a):
+            if o == e:
+                if a != start:
+                    return False
+            elif hv.len_k(o) >= uniqueness_length:
+                result[1] += 1
+            elif not search(int(hv.end_v[o]), depth + 1):
+                return False
+        for i in hv.in_edges(a):
+            if i == e:
+                if a != start:
+                    return False
+            elif hv.len_k(i) >= uniqueness_length:
+                result[0] += 1
+            elif not search(int(hv.start_v[i]), depth + 1):
+                return False
+        return True
+
+    if not search(start, 0):
+        return INVALID
+    if int(hv.start_v[e]) == start:
+        if result[0] < result[1]:
+            return INVALID
+        return result[0] - result[1]
+    if result[0] > result[1]:
+        return INVALID
+    return result[1] - result[0]
+
+
+def remove_multiplicity_ec(g: Graph, v_space: int, *,
+                           max_ec_length: int,
+                           uniqueness_length: int = 1500,
+                           plausibility_length: int = 200
+                           ) -> tuple[Graph, int, int]:
+    """Multiplicity-counting EC removal
+    (MultiplicityCountingRemoveErroneousEdges,
+    single_cell_simplification.hpp:60-76 + MultiplicityCountingCondition,
+    topological_edge_conditions.hpp:247-283): uniqueness of the junction
+    flank is judged by counting unique long edges around it (multiplicity
+    <= 1) instead of a unique-path length; plausibility is the usual
+    bounded plausible-path check.  Length-ordered with the
+    alternatives-presence guard.  Returns (graph, v_space, n)."""
+    from . import recondense as _recondense
+    hv = HostGraph(g, v_space)
+    ids = np.nonzero(hv.alive)[0]
+    order = ids[np.argsort([hv.len_k(int(e)) for e in ids],
+                           kind="stable")]
+    n_removed = 0
+    for e in order:
+        e = int(e)
+        if not hv.alive[e] or hv.len_k(e) > max_ec_length:
+            continue
+        vs_, ve_ = int(hv.start_v[e]), int(hv.end_v[e])
+        if len(hv.out_edges(vs_)) <= 1 or len(hv.in_edges(ve_)) <= 1:
+            continue
+
+        def plaus(o: int, forward: bool) -> bool:
+            return _plausible_path_len(
+                hv, o, 2 * plausibility_length,
+                forward) >= plausibility_length
+
+        def fwd():
+            # CheckUniqueness(in_edge, forward=false): multiplicity is
+            # counted from the in-edge's FAR endpoint (EdgeStart)
+            ins = hv.in_edges(vs_)
+            if len(ins) != 1 or _multiplicity_count(
+                    hv, ins[0], int(hv.start_v[ins[0]]),
+                    uniqueness_length) > 1:
+                return False
+            return any(plaus(o, True)
+                       for o in hv.out_edges(vs_) if o != e)
+
+        def bwd():
+            # CheckUniqueness(out_edge, forward=true): far endpoint =
+            # EdgeEnd of the outgoing flank edge
+            outs = hv.out_edges(ve_)
+            if len(outs) != 1 or _multiplicity_count(
+                    hv, outs[0], int(hv.end_v[outs[0]]),
+                    uniqueness_length) > 1:
+                return False
+            return any(plaus(o, False)
+                       for o in hv.in_edges(ve_) if o != e)
+
+        if fwd() or bwd():
+            hv.kill(e)
+            n_removed += 1
+    g2, vs = hv.to_graph()
+    if n_removed:
+        g2 = _recondense.recondense(g2, vs)
+    return g2, vs, n_removed
 
 
 def remove_hidden_ec(g: Graph, v_space: int, *,

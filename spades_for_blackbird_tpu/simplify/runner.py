@@ -28,9 +28,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..graph.graph import Graph
+from ..utils.logger import get_logger
 from ..utils.timetrace import scope as _scope
 from . import passes
 from .recondense import recondense
+
+_log = get_logger("Simplification")
 
 
 @dataclass
@@ -87,6 +90,16 @@ class SimplifyConfig:
     tec_max_ec_len_additive: int = 20   # max_ec_length_coefficient
     tec_uniqueness_length: int = 1500
     tec_plausibility_length: int = 200
+    # topology+reliability EC remover (trec block,
+    # simplification.info:212-217; runs with the MDA topology block)
+    trec_max_ec_len_additive: int = 100
+    trec_uniqueness_length: int = 1500
+    trec_unreliable_coverage: float = 2.5
+    # interstrand EC / thorn remover (isec block,
+    # simplification.info:220-225)
+    isec_max_ec_len_additive: int = 100
+    isec_uniqueness_length: int = 1500
+    isec_span_distance: int = 15000
     # max-flow EC remover (mfec block, simplification.info:228-234;
     # disabled by default in every reference mode, opt-in)
     mfec_enabled: bool = False
@@ -159,6 +172,9 @@ def simplify_graph(g: Graph, v_space: int, ec_bound: float,
         ec_len = 2 * _tip_length(k, rl, cfg.ec_to_lb) - 1
     final_ec_threshold = cfg.ec_icb * auto_cb
 
+    _log.debug(f"simplification cycle: {cfg.rounds} rounds, "
+               f"ec_len {ec_len}, final ec threshold "
+               f"{final_ec_threshold:.2f}, bulge_len {bulge_len}")
     with _scope("simplify_cycle", rounds=cfg.rounds):
         for i in range(cfg.rounds):
             # iterative threshold ramp (AlgorithmRunningHelper::
@@ -260,13 +276,38 @@ def simplify_graph(g: Graph, v_space: int, ec_bound: float,
         g = recondense(g, v_space)
 
     if cfg.tec_enabled:
-        # MDA topology simplification (simplification.cpp:83,224)
-        g, v_space, n = advanced.remove_topology_ec(
-            g, v_space, max_ec_length=k + cfg.tec_max_ec_len_additive,
-            uniqueness_length=cfg.tec_uniqueness_length,
-            plausibility_length=cfg.tec_plausibility_length)
-        if n:
-            g = recondense(g, v_space)
+        # MDA topology simplification block, in the reference's order:
+        # tec -> trec -> isec(thorns) -> multiplicity-counting
+        # (simplification.cpp:83-87)
+        with _scope("topology_block"):
+            g, v_space, n = advanced.remove_topology_ec(
+                g, v_space,
+                max_ec_length=k + cfg.tec_max_ec_len_additive,
+                uniqueness_length=cfg.tec_uniqueness_length,
+                plausibility_length=cfg.tec_plausibility_length)
+            if n:
+                g = recondense(g, v_space)
+            g, v_space, n = advanced.remove_tr_ec(
+                g, v_space,
+                max_ec_length=k + cfg.trec_max_ec_len_additive,
+                uniqueness_length=cfg.trec_uniqueness_length,
+                unreliable_coverage=cfg.trec_unreliable_coverage)
+            if n:
+                g = recondense(g, v_space)
+            g, v_space, n = advanced.remove_thorns(
+                g, v_space,
+                max_ec_length=k + cfg.isec_max_ec_len_additive,
+                uniqueness_length=cfg.isec_uniqueness_length,
+                span_distance=cfg.isec_span_distance)
+            if n:
+                g = recondense(g, v_space)
+            g, v_space, n = advanced.remove_multiplicity_ec(
+                g, v_space,
+                max_ec_length=k + cfg.tec_max_ec_len_additive,
+                uniqueness_length=cfg.tec_uniqueness_length,
+                plausibility_length=cfg.tec_plausibility_length)
+            if n:
+                g = recondense(g, v_space)
 
     if cfg.mfec_enabled:
         # MaxFlowRemoveErroneousEdges (simplification.cpp:87)
@@ -291,6 +332,8 @@ def simplify_graph(g: Graph, v_space: int, ec_bound: float,
         iso_len = rl
     g = passes.remove_isolated(g, v_space, jnp.int32(iso_len),
                                jnp.float32(cfg.isolated_max_coverage))
+    if _log.enabled(1):  # DEBUG: SimplificationCleanup-style stats
+        _log.debug(f"simplified: {alive_edge_count(g)} edges alive")
     return g
 
 

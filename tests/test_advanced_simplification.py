@@ -223,3 +223,77 @@ def test_max_flow_ec_incomplete_flow_no_deletion():
         plausibility_length=20)
     assert n == 0
     assert edge_set(g2_) == before
+
+
+# --- MDA topology block remnants: trec / isec(thorns) / multiplicity ---
+
+def test_trec_removes_low_coverage_chimera():
+    """TopologyReliabilityRemoveErroneousEdges
+    (single_cell_simplification.hpp:99-116): a short unreliable-coverage
+    edge hanging off a unique-path junction goes; the genomic branches
+    stay."""
+    A = random_dna(250, 60)
+    B = random_dna(250, 61)
+    C = random_dna(250, 62)
+    D = random_dna(250, 63)
+    reads = cover(A + B, times=6) + cover(C + D, times=6)
+    # chimeric join: end of A glued into the middle of D
+    chim = (A + B)[235:265] + (C + D)[330:360]
+    reads += [chim]
+    g, v_space = build_graph(reads)
+    n_before = int(np.asarray(edge_mask(g)).sum())
+    g2, v_space, n = advanced.remove_tr_ec(
+        g, v_space, max_ec_length=K + 100,
+        uniqueness_length=100, unreliable_coverage=2.5)
+    assert n >= 1
+    # genomic paths intact: both genomes still spelled by the graph
+    s = edge_set(g2)
+    joined = "".join(sorted(s))
+    assert any((A + B)[100:140] in e or nd.rc((A + B))[100:140] in e
+               for e in s)
+
+
+def test_thorn_remover_cuts_interstrand_connection():
+    """RemoveThorns (isec, single_cell_simplification.hpp:78-97): an MDA
+    interstrand chimera (forward strand into the reverse strand of a
+    downstream locus) passes the topological + MDA thorn conditions and
+    is removed."""
+    G = random_dna(900, 70)
+    reads = cover(G, times=6)
+    # strand-jump chimera: + strand at ~300 jumps onto the - strand at
+    # ~600; the conjugate locus is reachable forward within the span
+    chim = G[285:315] + nd.rc(G[600:630])
+    reads += [chim]
+    g, v_space = build_graph(reads)
+    g2, v_space, n = advanced.remove_thorns(
+        g, v_space, max_ec_length=K + 100,
+        uniqueness_length=50, span_distance=15000)
+    assert n >= 1
+    s = edge_set(g2)
+    assert any(G[100:140] in e or nd.rc(G)[100:140] in e for e in s)
+
+
+def test_multiplicity_counting_removes_ec_at_repeat_flank():
+    """MultiplicityCountingRemoveErroneousEdges
+    (single_cell_simplification.hpp:60-76): the in-flank of the junction
+    is short (so plain unique-path uniqueness is weak), but multiplicity
+    counting over the surrounding unique long edges certifies it, and
+    the chimeric edge goes."""
+    core = random_dna(300, 80)   # L1: long unique in-edge
+    R = random_dna(20, 81)       # short connector
+    L3 = random_dna(400, 82)     # long alternative out at u
+    B = random_dna(300, 83)      # plausible continuation after R
+    reads = cover(core + L3, times=6)
+    reads += cover(core + R + B, times=6)
+    # chimera E: hangs off w (the junction after R), pointing into the
+    # middle of L3 so its end vertex has in-degree 2
+    chim = (core + R)[-14 - 16:] + random_dna(20, 84) \
+        + (core + L3)[500:530]
+    reads += [chim]
+    g, v_space = build_graph(reads)
+    g2, v_space, n = advanced.remove_multiplicity_ec(
+        g, v_space, max_ec_length=K + 100,
+        uniqueness_length=100, plausibility_length=50)
+    assert n >= 1
+    s = edge_set(g2)
+    assert any(B[100:140] in e or nd.rc(B)[100:140] in e for e in s)
