@@ -26,6 +26,9 @@ from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+from ..ops import dna
 
 
 @jax.tree_util.register_dataclass
@@ -147,7 +150,7 @@ def compact_graph(g: Graph) -> tuple["Graph", int]:
     v_space = 1 << max(3, int(max(n_v - 1, 1)).bit_length())
 
     lens = np.asarray(g.seq_len)[ids]
-    flat = np.asarray(g.seq_flat)
+    flat = dna.pull_codes_packed(g.seq_flat)
     starts = np.asarray(g.seq_start)[ids]
     total = int(lens.sum())
     FLAT2 = 1 << max(4, int(max(total - 1, 1)).bit_length())

@@ -135,11 +135,13 @@ def _run_chunked(fn, codes, lengths, chunk=_CHUNK):
 
     ``fn(codes_chunk, lengths_chunk) -> CorrectionResult``; votes and
     fixes are per-read, so chunks are independent (the reference's
-    OpenMP read loop, read_corrector.cpp:19)."""
+    OpenMP read loop, read_corrector.cpp:19).  Chunk outputs stay ON
+    DEVICE (concatenated there): round-tripping every corrected chunk
+    through the host costs minutes per MB on a tunneled chip."""
     R = codes.shape[0]
     if R <= chunk:
         return fn(codes, lengths)
-    outs, changed, solid = [], 0, 0
+    outs, changed, solid = [], [], 0
     for lo in range(0, R, chunk):
         hi = min(lo + chunk, R)
         c, l = codes[lo:hi], lengths[lo:hi]
@@ -148,11 +150,11 @@ def _run_chunked(fn, codes, lengths, chunk=_CHUNK):
                         constant_values=4)
             l = jnp.pad(l, (0, chunk - (hi - lo)))
         res = fn(c, l)
-        outs.append(np.asarray(res.codes)[:hi - lo])
-        changed += int(res.changed_bases)
-        solid = int(res.solid_kmers)
-    return CorrectionResult(jnp.asarray(np.concatenate(outs)),
-                            jnp.int32(changed), jnp.int32(solid))
+        outs.append(res.codes[:hi - lo])
+        changed.append(res.changed_bases)
+        solid = res.solid_kmers
+    total_changed = jnp.sum(jnp.stack(changed)).astype(jnp.int32)
+    return CorrectionResult(jnp.concatenate(outs), total_changed, solid)
 
 
 def correct_reads(codes, lengths, k: int = 21, max_iterations: int = 2,
@@ -196,8 +198,9 @@ def correct_reads(codes, lengths, k: int = 21, max_iterations: int = 2,
             table = counter.trim_table(counter.count_kmers(
                 codes, lengths, k))
             cluster_counts = table.counts
-        ginfo = coverage_model.fit_coverage_model(
-            np.asarray(cluster_counts[:int(table.num)]))
+        ginfo = coverage_model.fit_coverage_model_hist(
+            coverage_model.count_spectrum_device(cluster_counts,
+                                                 table.num))
         good_thr = max(ginfo.ec_bound, 2.0)
         clusters = cluster_kmers(
             table.kmers, cluster_counts, table.num, k,
@@ -213,7 +216,9 @@ def correct_reads(codes, lengths, k: int = 21, max_iterations: int = 2,
         codes = res.codes
         if changed == 0:
             break
-    return np.asarray(codes), stats
+    # stays a device array: downstream stages consume it on device, and
+    # a full device->host pull is minutes per 10 MB on a tunneled chip
+    return codes, stats
 
 
 def _correct_reads_bayes(codes, lengths, quals, k: int,
@@ -261,4 +266,6 @@ def _correct_reads_bayes(codes, lengths, quals, k: int,
         codes = res.codes
         if changed == 0:
             break
-    return np.asarray(codes), stats
+    # stays a device array: downstream stages consume it on device, and
+    # a full device->host pull is minutes per 10 MB on a tunneled chip
+    return codes, stats

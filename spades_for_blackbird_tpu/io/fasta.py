@@ -25,7 +25,8 @@ def graph_contigs(g: Graph, min_length: int = 0
     starts = np.asarray(g.seq_start)
     lens = np.asarray(g.seq_len)
     covs = np.asarray(g.cov)
-    flat = np.asarray(g.seq_flat)
+    used = int((starts[alive] + lens[alive]).max()) if alive.any() else 0
+    flat = dna.pull_codes_packed(g.seq_flat, used)
     out = []
     for e in np.nonzero(alive)[0]:
         if conj[e] < e and alive[conj[e]]:

@@ -23,7 +23,7 @@ def write_fastg(path: str, g: Graph, line_width: int = 60) -> None:
     starts = np.asarray(g.seq_start)
     lens = np.asarray(g.seq_len)
     covs = np.asarray(g.cov)
-    flat = np.asarray(g.seq_flat)
+    flat = dna.pull_codes_packed(g.seq_flat)
     start_v = np.asarray(g.start_v)
     end_v = np.asarray(g.end_v)
 

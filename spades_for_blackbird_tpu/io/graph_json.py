@@ -12,6 +12,7 @@ import json
 import numpy as np
 
 from ..graph.graph import Graph, edge_mask
+from ..ops import dna
 
 
 def graph_to_json(g: Graph, max_label_len: int = 12) -> dict:
@@ -21,7 +22,7 @@ def graph_to_json(g: Graph, max_label_len: int = 12) -> dict:
     starts = np.asarray(g.seq_start)
     lens = np.asarray(g.seq_len)
     covs = np.asarray(g.cov)
-    flat = np.asarray(g.seq_flat)
+    flat = dna.pull_codes_packed(g.seq_flat)
     start_v = np.asarray(g.start_v)
     end_v = np.asarray(g.end_v)
 

@@ -162,12 +162,13 @@ def count_kmers_chunked(codes, lengths, k: int,
     a fraction of the raw stream size). Host RAM holds only the running
     table.
     """
-    import numpy as np
-    codes = np.asarray(codes)
-    lengths = np.asarray(lengths)
+    # slicing and padding happen ON DEVICE: a host round trip of the
+    # read batch per K iteration is the wall-clock on a tunneled chip
+    codes = jnp.asarray(codes)
+    lengths = jnp.asarray(lengths)
     R = codes.shape[0]
     if R <= chunk_reads:
-        return count_kmers(jnp.asarray(codes), jnp.asarray(lengths), k)
+        return count_kmers(codes, lengths, k)
     pow2_trim = trim_table
     table = None
     for lo in range(0, R, chunk_reads):
@@ -175,9 +176,9 @@ def count_kmers_chunked(codes, lengths, k: int,
         c, l = codes[lo:hi], lengths[lo:hi]
         if hi - lo < chunk_reads:  # pad the tail chunk to a stable shape
             pad = chunk_reads - (hi - lo)
-            c = np.concatenate([c, np.full((pad, c.shape[1]), 4, c.dtype)])
-            l = np.concatenate([l, np.zeros(pad, l.dtype)])
-        part = pow2_trim(count_kmers(jnp.asarray(c), jnp.asarray(l), k))
+            c = jnp.pad(c, ((0, pad), (0, 0)), constant_values=4)
+            l = jnp.pad(l, (0, pad))
+        part = pow2_trim(count_kmers(c, l, k))
         table = part if table is None else pow2_trim(
             merge_tables(table, part))
     return table

@@ -12,6 +12,7 @@ mixture-model fit is planned to replace the valley heuristic.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
@@ -106,20 +107,37 @@ def fit_reference_model(counts: np.ndarray,
                         probability_threshold: float = 0.05,
                         strong_probability_threshold: float = 0.999
                         ) -> GenomicInfo | None:
+    """The full KMerCoverageModel::Fit flow (cpp:186-377) from raw
+    per-unique-k-mer counts; see ``fit_reference_model_hist``."""
+    counts = np.asarray(counts)
+    counts = counts[counts > 0]
+    if counts.size == 0:
+        return None
+    return fit_reference_model_hist(
+        np.bincount(counts.astype(np.int64)),
+        probability_threshold, strong_probability_threshold)
+
+
+def fit_reference_model_hist(bc: np.ndarray,
+                             probability_threshold: float = 0.05,
+                             strong_probability_threshold: float = 0.999
+                             ) -> GenomicInfo | None:
     """The full KMerCoverageModel::Fit flow (cpp:186-377): valley
     detection on the smoothed histogram, median/MAD coverage init, EM
     over the error fraction with Nelder-Mead over the 6 density params,
     posterior-based threshold deduction, genome-size estimate.
-    Returns None when the fit fails to converge (callers fall back,
-    genomic_info_filler.cpp:56-62)."""
+    ``bc[c]`` = number of distinct k-mers with multiplicity c (the
+    spectrum — the only statistic the whole fit consumes, so callers on
+    slow device->host links transfer the few-KB histogram instead of
+    the raw counts column).  Returns None when the fit fails to
+    converge (callers fall back, genomic_info_filler.cpp:56-62)."""
     from scipy.optimize import minimize
 
-    counts = np.asarray(counts)
-    counts = counts[counts > 0]
-    if counts.size < 100:
+    bc = np.asarray(bc, dtype=np.int64)
+    if bc.sum() - (bc[0] if len(bc) else 0) < 100:
         return None
     # hist[i] = # distinct k-mers with multiplicity i+1
-    bc = np.bincount(counts.astype(np.int64))[1:]
+    bc = bc[1:]
     if len(bc) <= 10:
         return None
     hist = bc.astype(np.float64)
@@ -241,12 +259,26 @@ def fit_mixture(counts: np.ndarray, max_count: int = 512,
     counts = counts[counts > 0]
     if counts.size < 100:
         return None
-    hist = np.bincount(np.minimum(counts, max_count)).astype(np.float64)
+    return fit_mixture_hist(np.bincount(counts.astype(np.int64)),
+                            max_count=max_count, iters=iters)
+
+
+def fit_mixture_hist(bc: np.ndarray, max_count: int = 512,
+                     iters: int = 40) -> GenomicInfo | None:
+    """``fit_mixture`` from the count spectrum ``bc[c]`` directly."""
+    bc = np.asarray(bc, dtype=np.int64)
+    bc_full = bc
+    if len(bc) > max_count + 1:
+        clipped = bc[:max_count + 1].copy()
+        clipped[max_count] += bc[max_count + 1:].sum()
+        bc = clipped
+    hist = bc.astype(np.float64)
     xs = np.arange(len(hist), dtype=np.float64)
     w = hist.copy()
-    w[0] = 0.0
+    if len(w):
+        w[0] = 0.0
     total = w.sum()
-    if total <= 0:
+    if total < 100:
         return None
 
     # init: error geometric p from low counts, genomic mean from the
@@ -291,35 +323,65 @@ def fit_mixture(counts: np.ndarray, max_count: int = 512,
     for c in range(1, int(gmean) + 1):
         if c < len(err_dom) and err_dom[c]:
             cross = c
-    genomic = counts[counts > cross]
-    if genomic.size == 0:
+    tail = bc_full[cross + 1:]
+    n_genomic = int(tail.sum())
+    if n_genomic == 0:
         return None
+    tail_xs = np.arange(cross + 1, len(bc_full), dtype=np.float64)
     return GenomicInfo(
         ec_bound=float(cross),
         trusted_bound=float(min(gmean / 2.0, cross * 2 + 1)),
-        mean_coverage=float(genomic.mean()),
-        genome_size=int(genomic.size),
+        mean_coverage=float((tail * tail_xs).sum() / n_genomic),
+        genome_size=n_genomic,
     )
 
 
-def fit_coverage_model(counts: np.ndarray, max_count: int = 256
-                       ) -> GenomicInfo:
-    """Fit from per-unique-k-mer counts (padded entries must be stripped)."""
-    counts = np.asarray(counts)
-    counts = counts[counts > 0]
-    if counts.size == 0:
+HIST_BINS = 4096  # spectrum resolution kept on-device (counts clamp here)
+
+
+def count_spectrum_device(counts, num, bins: int = HIST_BINS):
+    """Count spectrum (bc[c] = distinct k-mers with count c) computed ON
+    DEVICE so only ``bins`` ints cross the device->host link — the raw
+    counts column of a multi-Mb run is tens of MB, which a tunneled TPU
+    moves at KB/s.  Pass the result (as numpy) to
+    ``fit_coverage_model_hist``."""
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("bins",))
+    def _hist(counts, num, bins):
+        idx = jnp.clip(counts.astype(jnp.int32), 0, bins - 1)
+        valid = (jnp.arange(counts.shape[0]) < num) & (counts > 0)
+        idx = jnp.where(valid, idx, 0)
+        h = jnp.zeros((bins,), jnp.int32).at[idx].add(
+            valid.astype(jnp.int32))
+        return h
+
+    return np.asarray(_hist(counts, num, bins)).astype(np.int64)
+
+
+def fit_coverage_model_hist(bc: np.ndarray) -> GenomicInfo:
+    """Fit from the count spectrum ``bc[c]`` (bin 0 ignored)."""
+    bc = np.asarray(bc, dtype=np.int64)
+    if len(bc):
+        bc = bc.copy()
+        bc[0] = 0
+    total = int(bc.sum())
+    if total == 0:
         return GenomicInfo(0.0, 0.0, 0.0, 0)
     try:
-        fitted = fit_reference_model(counts)
+        fitted = fit_reference_model_hist(bc)
     except Exception:
         fitted = None  # scipy edge cases: fall through like !converged_
     if fitted is not None:
         return fitted
-    fitted = fit_mixture(counts)
+    fitted = fit_mixture_hist(bc)
     if fitted is not None:
         return fitted
     # valley fallback (uneven coverage / tiny samples)
-    hist = np.bincount(np.minimum(counts, max_count))
+    hist = bc[:257].copy()
+    if len(bc) > 257:
+        hist[-1] += bc[257:].sum()
     hist = np.append(hist, np.zeros(max(0, 4 - len(hist)), np.int64))
     # valley: minimum of the histogram between the error head and the
     # genomic peak (the mixture components' crossing point)
@@ -333,16 +395,32 @@ def fit_coverage_model(counts: np.ndarray, max_count: int = 256
         region = hist[1:peak]
         min_idxs = np.nonzero(region == region.min())[0]
         valley = 1 + int(min_idxs[len(min_idxs) // 2])
-    genomic = counts[counts > valley]
-    if genomic.size == 0:
+    xs_full = np.arange(len(bc), dtype=np.float64)
+    tail = bc[valley + 1:]
+    n_genomic = int(tail.sum())
+    if n_genomic == 0:
         # uneven coverage fallback (the reference falls back to
         # ErroneousConnectionThresholdFinder, genomic_info_filler.cpp:60)
+        mean_all = float((bc * xs_full).sum() / total)
         return GenomicInfo(float(valley), float(valley + 1),
-                           float(np.mean(counts)), int(counts.size))
-    mean_cov = float(np.mean(genomic))
+                           mean_all, total)
+    mean_cov = float((tail * xs_full[valley + 1:]).sum() / n_genomic)
     return GenomicInfo(
         ec_bound=float(valley),
         trusted_bound=float(min(mean_cov / 2.0, valley * 2 + 1)),
         mean_coverage=mean_cov,
-        genome_size=int(genomic.size),
+        genome_size=n_genomic,
     )
+
+
+def fit_coverage_model(counts: np.ndarray, max_count: int = 256
+                       ) -> GenomicInfo:
+    """Fit from per-unique-k-mer counts (padded entries must be
+    stripped).  Device callers should prefer ``count_spectrum_device``
+    + ``fit_coverage_model_hist`` to avoid shipping the counts column
+    over the device->host link."""
+    counts = np.asarray(counts)
+    counts = counts[counts > 0]
+    if counts.size == 0:
+        return GenomicInfo(0.0, 0.0, 0.0, 0)
+    return fit_coverage_model_hist(np.bincount(counts.astype(np.int64)))

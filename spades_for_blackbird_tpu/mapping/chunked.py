@@ -39,6 +39,9 @@ def map_reads_chunked(index, seq_len, codes, lengths, k: int,
     R = codes.shape[0]
     if R <= chunk:
         return mapper.map_reads(index, seq_len, codes, lengths, k)
+    # chunk outputs stay ON DEVICE (device concat): a per-chunk host
+    # round trip of the (R,) result columns costs minutes per 10 MB on
+    # a tunneled chip
     fields = {"oriented_edge": [], "start": [], "votes": [], "mapped": []}
     for lo in range(0, R, chunk):
         hi = min(lo + chunk, R)
@@ -46,10 +49,9 @@ def map_reads_chunked(index, seq_len, codes, lengths, k: int,
         m = mapper.map_reads(index, seq_len, c, l, k)
         n = hi - lo
         for name in fields:
-            fields[name].append(np.asarray(getattr(m, name))[:n])
+            fields[name].append(getattr(m, name)[:n])
     return mapper.ReadMapping(
-        **{name: jnp.asarray(np.concatenate(v))
-           for name, v in fields.items()})
+        **{name: jnp.concatenate(v) for name, v in fields.items()})
 
 
 def map_reads_multi_chunked(index, seq_len, codes, lengths, k: int,
@@ -74,7 +76,6 @@ def map_reads_multi_chunked(index, seq_len, codes, lengths, k: int,
                                    min_votes=min_votes)
         n = hi - lo
         for name in fields:
-            fields[name].append(np.asarray(getattr(m, name))[:n])
+            fields[name].append(getattr(m, name)[:n])
     return mapper.ChainMapping(
-        **{name: jnp.asarray(np.concatenate(v))
-           for name, v in fields.items()})
+        **{name: jnp.concatenate(v) for name, v in fields.items()})

@@ -134,7 +134,7 @@ def _graph_path_fill(g: Graph, e1: int, e2: int, read_fill: np.ndarray,
     end_v = np.asarray(g.end_v)
     seq_len = np.asarray(g.seq_len)
     starts = np.asarray(g.seq_start)
-    flat = np.asarray(g.seq_flat)
+    flat = dna.pull_codes_packed(g.seq_flat)
     k = g.k
     out_of: dict[int, list[int]] = {}
     for e in np.nonzero(alive)[0]:
@@ -212,7 +212,7 @@ def hybrid_close_gaps(g: Graph, codes, lengths, seed_k: int = 13,
             key = (a.edge, b.edge)
             bridges.setdefault(key, []).append(fill)
 
-    flat = np.asarray(g.seq_flat)
+    flat = dna.pull_codes_packed(g.seq_flat)
     starts = np.asarray(g.seq_start)
     joins = []
     used: set[int] = set()

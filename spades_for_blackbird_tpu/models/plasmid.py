@@ -354,7 +354,7 @@ def suspicious_components(g: Graph, ext_limit: float,
     alive, lens, covs, conj, sv, ev = _np(g)
     comp, comp_len, comp_dead = _components(g)
     starts = np.asarray(g.seq_start)
-    flat = np.asarray(g.seq_flat)
+    flat = dna.pull_codes_packed(g.seq_flat)
     out = []
     for root in np.unique(comp[comp >= 0]):
         members = np.nonzero(comp == root)[0]
@@ -484,7 +484,7 @@ def circular_contigs(g: Graph, min_length: int = 300
     starts = np.asarray(g.seq_start)
     lens = np.asarray(g.seq_len)
     covs = np.asarray(g.cov)
-    flat = np.asarray(g.seq_flat)
+    flat = dna.pull_codes_packed(g.seq_flat)
     start_v = np.asarray(g.start_v)
     end_v = np.asarray(g.end_v)
     k = g.k

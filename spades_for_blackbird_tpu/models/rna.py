@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..graph.graph import Graph, edge_mask
+from ..ops import dna
 
 
 def strand_specific_coverage(g: Graph, codes, lengths
@@ -166,7 +167,7 @@ def split_edges_by_strand(g: Graph, codes, lengths, bin_size: int = 50,
     start_v = np.asarray(g.start_v)
     end_v = np.asarray(g.end_v)
     cov = np.asarray(g.cov)
-    flat = np.asarray(g.seq_flat)
+    flat = dna.pull_codes_packed(g.seq_flat)
     starts = np.asarray(g.seq_start)
 
     fwd, rev = binned_strand_coverage(g, codes, lengths, bin_size,

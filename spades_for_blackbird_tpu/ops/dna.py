@@ -81,6 +81,40 @@ def encode_reads(seqs: list[str], max_len: int | None = None
 _RC_TABLE = str.maketrans("ACGTacgtN", "TGCAtgcaN")
 
 
+def pull_codes_packed(flat, n_valid: int | None = None) -> "np.ndarray":
+    """Pull a 2-bit code buffer from device to host 4-bases-per-byte.
+
+    Device->host bandwidth is the scarce resource on a tunneled chip;
+    packing on device quarters the bytes moved.  ``n_valid`` bounds the
+    useful prefix (the rest is capacity padding and never transferred
+    beyond pow2 rounding).  Returns host uint8 codes of length
+    ``n_valid`` (or the full buffer length)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    flat = jnp.asarray(flat)
+    n = flat.shape[0] if n_valid is None else int(n_valid)
+    cap = 1 << max(1, n - 1).bit_length()
+    cap = min(cap, flat.shape[0])
+    n = min(n, cap)
+
+    @jax.jit
+    def _pack(f):
+        pad = (-f.shape[0]) % 4
+        f = jnp.pad(f, (0, pad)) & 3
+        return (f[0::4] | (f[1::4] << 2) | (f[2::4] << 4)
+                | (f[3::4] << 6)).astype(jnp.uint8)
+
+    p = np.asarray(_pack(flat[:cap]))
+    out = np.empty(p.shape[0] * 4, np.uint8)
+    out[0::4] = p & 3
+    out[1::4] = (p >> 2) & 3
+    out[2::4] = (p >> 4) & 3
+    out[3::4] = (p >> 6) & 3
+    return out[:n]
+
+
 def revcomp_str(seq: str) -> str:
     """Reverse-complement of an ASCII sequence string (host-side)."""
     return seq.translate(_RC_TABLE)[::-1]

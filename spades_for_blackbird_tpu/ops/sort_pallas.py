@@ -39,10 +39,14 @@ def _pair_gt(ah, al, bh, bl):
 
 
 def _select_new(hi, lo, ph, plo, want_lo):
-    """Keep min(self, partner) where want_lo, else max."""
+    """Keep min(self, partner) where want_lo, else max.
+
+    ``take_partner`` is combined with logical ops, not an i1-valued
+    select — Mosaic rejects ``where(i1, i1, i1)`` ("Unsupported target
+    bitwidth for truncation")."""
     gt = _pair_gt(hi, lo, ph, plo)     # self > partner
     lt = _pair_gt(ph, plo, hi, lo)     # partner > self
-    take_partner = jnp.where(want_lo, gt, lt)
+    take_partner = (want_lo & gt) | (~want_lo & lt)
     return (jnp.where(take_partner, ph, hi),
             jnp.where(take_partner, plo, lo))
 
@@ -102,11 +106,16 @@ def _tile_sort_kernel(hi_ref, lo_ref, oh_ref, ol_ref, *, log_tile):
 def _tile_merge_kernel(hi_ref, lo_ref, dir_ref, oh_ref, ol_ref, *,
                        log_tile):
     """Closing sub-tile stages (j = log_tile-1..0) of one cross-tile
-    merge level; direction is constant per tile."""
+    merge level; direction is constant per tile.  ``dir_ref`` holds the
+    whole per-tile direction vector in SMEM (a (1,1) SMEM block fails
+    Mosaic's block-shape divisibility rule, so the full array is the
+    block and the grid index selects the row)."""
+    import jax.experimental.pallas as pl
     rows = (1 << log_tile) // LANES
     hi = hi_ref[:]
     lo = lo_ref[:]
-    asc = jnp.broadcast_to(dir_ref[0, 0] == 1, (rows, LANES))
+    t = pl.program_id(0)
+    asc = jnp.broadcast_to(dir_ref[t, 0] == 1, (rows, LANES))
     for j in range(log_tile - 1, -1, -1):
         hi, lo = _cmpx(hi, lo, j, asc, rows)
     oh_ref[:] = hi
@@ -143,7 +152,7 @@ def _run_tile_merge(hi2, lo2, dirs, log_tile, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((rows, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
+            pl.BlockSpec((T, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(pl.BlockSpec((rows, LANES), lambda i: (i, 0),

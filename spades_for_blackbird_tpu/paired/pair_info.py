@@ -133,17 +133,18 @@ def fill_paired_index_multi(m1, m2rc, is_shift: jax.Array) -> PairedIndex:
 
 
 def _chain_slice(ch, lo: int, hi: int, chunk: int):
-    """Fixed-shape row slice of a ChainMapping (pad tail with unmapped)."""
-    import numpy as np
+    """Fixed-shape row slice of a ChainMapping (pad tail with unmapped).
+    Slicing happens ON DEVICE — chain arrays are (R, P) and a per-chunk
+    host round trip would dominate on a tunneled chip."""
     out = {}
     pad = chunk - (hi - lo)
     for name in ("oriented_edge", "start", "votes", "chain_len", "mapped"):
-        a = np.asarray(getattr(ch, name))[lo:hi]
+        a = jnp.asarray(getattr(ch, name))[lo:hi]
         if pad:
             fill = -1 if name == "oriented_edge" else 0
             width = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
-            a = np.pad(a, width, constant_values=fill)
-        out[name] = jnp.asarray(a)
+            a = jnp.pad(a, width, constant_values=fill)
+        out[name] = a
     return type(ch)(**out)
 
 

@@ -37,6 +37,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..graph.graph import Graph, edge_mask
+from ..ops import dna
 from ..utils.logger import get_logger
 
 
@@ -319,6 +320,84 @@ class SimpleChooser:
         return [c for c in cands if weights[c] >= max_w / self.priority]
 
 
+class LongReadChooser:
+    """LongReadsExtensionChooser (extension_chooser.hpp:1108-1210):
+    long-read graph paths vote for the next edge.  A supporting path
+    must contain the grown path's last edge with a matching backward
+    prefix (EqualBegins); the edge it continues with accumulates the
+    read weight.  Primary votes additionally require a UNIQUE edge in
+    the read's matched back context (UniqueBackPath with the
+    LongReadsUniqueEdgeAnalyzer, extension_chooser.hpp:1145-1160) — a
+    read whose context is all collapsed repeats cannot tell WHICH copy
+    it saw.  Candidates pass when their weight exceeds the filtering
+    threshold (with the reference's single-variant >= 2 fallback), and
+    the best must dominate by ``weight_priority`` for an unambiguous
+    choice."""
+
+    def __init__(self, read_paths: list[tuple[list[int], float]],
+                 conj, uniq_mask=None, filtering_threshold: float = 2.0,
+                 weight_priority: float = 10.0):
+        agg: dict[tuple, float] = {}
+        conj = np.asarray(conj)
+        for p, w in read_paths:
+            if len(p) < 2:
+                continue
+            agg[tuple(p)] = agg.get(tuple(p), 0.0) + w
+            rcp = tuple(int(conj[e]) for e in reversed(p))
+            agg[rcp] = agg.get(rcp, 0.0) + w
+        self.paths = list(agg.items())
+        self.index: dict[int, list[tuple[int, int]]] = {}
+        for pi, (p, _w) in enumerate(self.paths):
+            for pos, e in enumerate(p):
+                self.index.setdefault(int(e), []).append((pi, pos))
+        self.filtering_threshold = filtering_threshold
+        self.weight_priority = weight_priority
+        self.uniq_mask = uniq_mask
+
+    def _equal_begins(self, path: list[int], p: tuple, pos: int) -> bool:
+        j, i = len(path) - 1, pos
+        while j >= 0 and i >= 0:
+            if path[j] != p[i]:
+                return False
+            j -= 1
+            i -= 1
+        return True
+
+    def filter(self, path: list[int], cands: list[int]) -> list[int]:
+        if not cands or not self.paths:
+            return []
+        back = int(path[-1])
+        weights: dict[int, float] = {}
+        raw: dict[int, float] = {}
+        for pi, pos in self.index.get(back, []):
+            p, w = self.paths[pi]
+            if pos + 1 >= len(p):
+                continue
+            if not self._equal_begins(path, p, pos):
+                continue
+            nxt = int(p[pos + 1])
+            raw[nxt] = raw.get(nxt, 0.0) + w
+            if self.uniq_mask is not None and not any(
+                    self.uniq_mask[int(e)] for e in p[:pos + 1]):
+                continue  # UniqueBackPath: ambiguous repeat-only context
+            weights[nxt] = weights.get(nxt, 0.0) + w
+        cw = {c: weights.get(int(c), 0.0) for c in cands}
+        strong = [c for c in cands if cw[c] > self.filtering_threshold]
+        if not strong:
+            # single-variant fallback over UNFILTERED support
+            # (extension_chooser.hpp:1166-1186 next_variants)
+            nz = [c for c in cands if raw.get(int(c), 0.0) > 0]
+            if len(nz) == 1 and raw[int(nz[0])] >= 2:
+                strong = nz
+            else:
+                return []
+        strong.sort(key=lambda c: -cw[c])
+        if len(strong) > 1 and \
+                cw[strong[0]] > self.weight_priority * cw[strong[1]]:
+            strong = strong[:1]
+        return strong
+
+
 _log = get_logger("PathExtend")
 
 
@@ -358,8 +437,11 @@ class LibSpec:
     clustered: object
     is_stats: object = None
     read_length: int | None = None
-    kind: str = "pe"            # "pe" | "mp"
+    kind: str = "pe"            # "pe" | "mp" | "long"
     coverage_share: float = 1.0  # this lib's fraction of total coverage
+    # kind == "long": aligned long-read edge paths [(path, weight)]
+    # (the PathStorage input of LongReadsExtensionChooser)
+    read_paths: list | None = None
 
 
 def resolve_paths(g: Graph, paired, params: PEParams | None = None,
@@ -395,10 +477,19 @@ def resolve_paths_multi(g: Graph, lib_specs: list[LibSpec],
 
     if lib_coverage is None:
         lib_coverage = estimate_lib_coverage(g)
-    # PE libs first, then MP (reference extender ordering)
-    specs = sorted(lib_specs, key=lambda s: 0 if s.kind == "pe" else 1)
+    # long-read extenders first, then PE, then MP (MakeBasicExtenders
+    # ordering, extenders_logic.cpp:462-520)
+    _ORDER = {"long": 0, "pe": 1, "mp": 2}
+    specs = sorted(lib_specs, key=lambda s: _ORDER.get(s.kind, 1))
+    from . import unique_edges as _ue
     choosers = []
     for spec in specs:
+        if spec.kind == "long":
+            choosers.append(LongReadChooser(
+                spec.read_paths or [], conj,
+                uniq_mask=_ue.unique_edge_mask(
+                    g, params.unique_edge_length)))
+            continue
         rl = spec.read_length or max(k + 1, 100)
         cov = lib_coverage * spec.coverage_share
         lib = PairedLib(spec.clustered, spec.is_stats, rl, k,
@@ -414,15 +505,30 @@ def resolve_paths_multi(g: Graph, lib_specs: list[LibSpec],
              if seq_len[e] >= params.seed_min_length]
     seeds.sort(key=lambda e: -int(seq_len[e]))
 
-    used_unique: set[int] = set()
+    # uniqueness + multiplicity gating (ScaffoldingUniqueEdgeAnalyzer,
+    # scaff_supplementary.cpp:30-62): edges passing the length+coverage
+    # uniqueness test are claimed once (UsedUniqueStorage); long edges
+    # FAILING the coverage window are collapsed repeats — they allow up
+    # to round(cov/median) traversals instead of being claimed
+    from . import unique_edges as _ue
+    uniq_mask = _ue.unique_edge_mask(g, params.unique_edge_length)
+    multiplicity = _ue.edge_multiplicity(g, params.unique_edge_length)
+    uses: dict[int, int] = {}
     paths: list[list[int]] = []
     seeded: set[int] = set()
 
+    def _uses(c: int) -> int:
+        return uses.get(c, 0) + uses.get(int(conj[c]), 0)
+
     def usable(c: int) -> bool:
-        if seq_len[c] >= params.unique_edge_length and \
-                (c in used_unique or int(conj[c]) in used_unique):
-            return False
-        return True
+        if seq_len[c] < params.unique_edge_length:
+            return True
+        cap = 1 if uniq_mask[c] else max(1, int(multiplicity[c]))
+        return _uses(c) < cap
+
+    def claim(c: int) -> None:
+        if seq_len[c] >= params.unique_edge_length:
+            uses[c] = uses.get(c, 0) + 1
 
     def grow(path: list[int]) -> list[int]:
         visits: dict[tuple[int, int], int] = {}
@@ -451,8 +557,7 @@ def resolve_paths_multi(g: Graph, lib_specs: list[LibSpec],
             if visits[key] > params.max_junction_visits:
                 break  # unresolved short loop: stop unrolling
             path.append(best)
-            if seq_len[best] >= params.unique_edge_length:
-                used_unique.add(best)
+            claim(best)
         return path
 
     for seed in seeds:
@@ -460,8 +565,12 @@ def resolve_paths_multi(g: Graph, lib_specs: list[LibSpec],
             continue
         if not usable(seed):
             continue
-        if seq_len[seed] >= params.unique_edge_length:
-            used_unique.add(seed)
+        # only UNIQUE seeds claim their edge: a collapsed-repeat seed
+        # path ([R] alone, later removed as contained) must not burn a
+        # multiplicity slot the flanking paths need (the reference's
+        # UsedUniqueStorage tracks unique edges only)
+        if uniq_mask[seed]:
+            claim(seed)
         # grow right, then grow the conjugate right (= grow left), stitch
         right = grow([seed])
         left_c = grow([int(conj[seed])])
@@ -529,7 +638,7 @@ def _remove_overlaps(paths: list[list[int]], conj, seq_len,
 def paths_to_contigs(g: Graph, ps: PathSet) -> list[tuple[str, float]]:
     """Path sequences (k-overlap aware) with length-weighted coverage."""
     from ..ops import dna
-    flat = np.asarray(g.seq_flat)
+    flat = dna.pull_codes_packed(g.seq_flat)
     starts = np.asarray(g.seq_start)
     lens = np.asarray(g.seq_len)
     covs = np.asarray(g.cov)

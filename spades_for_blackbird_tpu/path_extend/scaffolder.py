@@ -16,6 +16,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..graph.graph import Graph, edge_mask
+from ..ops import dna
 from .resolver import PathSet
 
 
@@ -165,7 +166,7 @@ def scaffold_paths(g: Graph, ps: PathSet, paired,
     # look for an actual suffix/prefix overlap before committing Ns, and
     # reject joins whose strongly-negative estimate finds no overlap
     from . import gap_analyzer as ga
-    flat_h = np.asarray(g.seq_flat)
+    flat_h = dna.pull_codes_packed(g.seq_flat)
     starts_h = np.asarray(g.seq_start)
     lens_h = np.asarray(g.seq_len)
     gparams = ga.GapAnalyzerParams(
@@ -230,7 +231,7 @@ def scaffolds_to_contigs(g: Graph, scaffolds,
     """Render scaffolds as sequences with N gaps (io_support.cpp's
     scaffold writing; gaps clamp to at least min_gap_run Ns)."""
     from ..ops import dna
-    flat = np.asarray(g.seq_flat)
+    flat = dna.pull_codes_packed(g.seq_flat)
     starts = np.asarray(g.seq_start)
     lens = np.asarray(g.seq_len)
     covs = np.asarray(g.cov)

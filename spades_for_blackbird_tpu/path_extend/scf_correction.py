@@ -16,6 +16,7 @@ import re
 import numpy as np
 
 from ..graph.graph import Graph, edge_mask
+from ..ops import dna
 
 
 def _adjacency(g: Graph):
@@ -102,7 +103,7 @@ def correct_scaffold(g: Graph, scaffold: str, max_gap_slack: int = 500
         if int(end_v[a]) != int(start_v[b]):
             return scaffold, False
     # construct sequence (ConstructSequence: first edge + k-trimmed rest)
-    flat = np.asarray(g.seq_flat)
+    flat = dna.pull_codes_packed(g.seq_flat)
     starts = np.asarray(g.seq_start)
     from ..ops import dna as dna_ops
     out = []

@@ -111,7 +111,8 @@ def _early_tips_sharded(mesh, kk, cc, nn, k: int, read_length: int):
 
 
 def _construct_distributed(mesh, codes, lengths, k: int,
-                           extra_sequences, min_kmer_count):
+                           extra_sequences, min_kmer_count,
+                           early_tip_clip: bool = True):
     """Sharded construction over the mesh: hash-partitioned all_to_all
     (k+1)-mer count -> distributed extension index -> routed-lookup
     condensation (parallel/{kmer_exchange,construction,condense_dist}).
@@ -125,8 +126,15 @@ def _construct_distributed(mesh, codes, lengths, k: int,
 
     sc, sl = mesh_mod.shard_reads(mesh, np.asarray(codes),
                                   np.asarray(lengths))
+    # hash balance concentrates at scale; tiny shards (dry runs, toy
+    # inputs) see large relative imbalance, so the capacity factor
+    # adapts to the per-shard row count
+    n_dev = mesh.shape[mesh_mod.READS_AXIS]
+    rows_per_shard = (int(np.asarray(codes).shape[0])
+                      * int(np.asarray(codes).shape[1])) // max(n_dev, 1)
+    cap_f = 8.0 if rows_per_shard < (1 << 18) else 3.0
     count = kmer_exchange.make_sharded_counter(mesh, k + 1,
-                                               capacity_factor=3.0)
+                                               capacity_factor=cap_f)
     kk, cc, nn, dropped = count(sc, sl)
     if int(np.asarray(dropped).sum()) != 0:
         raise RuntimeError(
@@ -135,12 +143,22 @@ def _construct_distributed(mesh, codes, lengths, k: int,
             "a pathological input)")
 
     # coverage model fit on the READ spectrum (before extras/filter),
-    # matching the single-device path
-    nn_h = np.asarray(nn)
-    per = kk.shape[0] // mesh.shape[mesh_mod.READS_AXIS]
-    cc_h = np.asarray(cc)
-    read_counts = np.concatenate([
-        cc_h[i * per:i * per + int(nn_h[i])] for i in range(len(nn_h))])
+    # matching the single-device path; the spectrum is reduced ON
+    # DEVICE — pulling the sharded counts column over the tunneled
+    # device->host link would dominate wall-clock
+    import jax
+    per = kk.shape[0] // n_dev
+
+    @jax.jit
+    def _shard_spectrum(cc, nn):
+        idx = jnp.arange(cc.shape[0])
+        valid = ((idx % per) < nn[idx // per]) & (cc > 0)
+        b = jnp.clip(cc.astype(jnp.int32), 0,
+                     coverage_model.HIST_BINS - 1)
+        return jnp.zeros((coverage_model.HIST_BINS,), jnp.int32).at[
+            jnp.where(valid, b, 0)].add(valid.astype(jnp.int32))
+
+    read_spectrum = np.asarray(_shard_spectrum(cc, nn)).astype(np.int64)
 
     if extra_sequences:
         extra = [s for s in extra_sequences if len(s) > k]
@@ -150,7 +168,7 @@ def _construct_distributed(mesh, codes, lengths, k: int,
             ec2, el2 = mesh_mod.shard_reads(mesh, np.asarray(ec),
                                             np.asarray(el))
             ek, ecc, en, edrop = kmer_exchange.make_sharded_counter(
-                mesh, k + 1, capacity_factor=3.0)(ec2, el2)
+                mesh, k + 1, capacity_factor=cap_f)(ec2, el2)
             if int(np.asarray(edrop).sum()) != 0:
                 raise RuntimeError("extra-contig k-mer exchange overflow")
             merge = kmer_exchange.make_sharded_table_merge(mesh)
@@ -160,16 +178,22 @@ def _construct_distributed(mesh, codes, lengths, k: int,
         kk, cc, nn = filt(kk, cc, nn,
                           jnp.asarray([min_kmer_count], jnp.int32))
 
-    vb = pcon.make_sharded_vertex_builder(mesh, k, capacity_factor=3.0)
+    read_length = int(np.asarray(codes).shape[1])
+    if early_tip_clip and read_length > k + 1:
+        kk, cc, nn = _early_tips_sharded(mesh, kk, cc, nn, k,
+                                         read_length)
+
+    vb = pcon.make_sharded_vertex_builder(mesh, k,
+                                          capacity_factor=cap_f)
     vk, om, im, vnums, vdrop = vb(kk, nn)
     if int(np.asarray(vdrop).sum()) != 0:
         raise RuntimeError("sharded vertex exchange overflow")
     gb = condense_dist.make_sharded_graph_builder(mesh, k,
-                                                  capacity_factor=3.0)
+                                                  capacity_factor=cap_f)
     g, qdrop = gb(kk, cc, nn, vk, om, im, vnums)
     if int(np.asarray(qdrop).sum()) != 0:
         raise RuntimeError("routed successor query overflow")
-    return g, read_counts
+    return g, read_spectrum
 
 
 def assemble_single_k(codes, lengths, k: int,
@@ -209,15 +233,17 @@ def assemble_single_k(codes, lengths, k: int,
         # Construction sharded over the device mesh.  The coverage-model
         # fit and cov-cutoff resolution see the same read spectrum as
         # the single-device path below.
-        g, read_counts = _construct_distributed(
+        g, read_spectrum = _construct_distributed(
             mesh, codes, lengths, k, extra_sequences,
-            1 if min_kmer_count == "auto" else min_kmer_count)
-        ginfo = coverage_model.fit_coverage_model(read_counts)
+            1 if min_kmer_count == "auto" else min_kmer_count,
+            early_tip_clip=early_tip_clip)
+        ginfo = coverage_model.fit_coverage_model_hist(read_spectrum)
         if min_kmer_count == "auto":
             mc = max(2, int(ginfo.ec_bound))
             if mc > 1:  # re-run with the resolved cutoff
                 g, _ = _construct_distributed(
-                    mesh, codes, lengths, k, extra_sequences, mc)
+                    mesh, codes, lengths, k, extra_sequences, mc,
+                    early_tip_clip=early_tip_clip)
         g, v_space = compact_graph(g)
     else:
         # Construction (+ coverage model on the (k+1)-mer spectrum).
@@ -230,8 +256,11 @@ def assemble_single_k(codes, lengths, k: int,
             kp1 = counter.trim_table(
                 counter.count_kmers_chunked(codes, lengths, k + 1))
         with _scope("coverage_model_fit", k=k):
-            ginfo = coverage_model.fit_coverage_model(
-                np.asarray(kp1.counts[:int(kp1.num)]))
+            # fit from the on-device spectrum: the counts column is
+            # tens of MB at genome scale, the spectrum a few KB — the
+            # tunneled device->host link is the wall-clock here
+            ginfo = coverage_model.fit_coverage_model_hist(
+                coverage_model.count_spectrum_device(kp1.counts, kp1.num))
         if extra_sequences:
             extra = [s for s in extra_sequences if len(s) > k]
             if extra:
@@ -341,7 +370,8 @@ def repeat_resolution(g, codes1, lengths1, codes2, lengths2,
 def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
                             lib_data_out: list | None = None,
                             scaffold_graph_out: dict | None = None,
-                            scaffolding_estimator: str | None = None):
+                            scaffolding_estimator: str | None = None,
+                            long_reads=None):
     """Per-library repeat resolution (pair_info_count.cpp:186-230 +
     extenders_logic.cpp per-lib extender construction): each library
     gets its OWN insert-size estimate, paired-index shift and distance
@@ -459,6 +489,20 @@ def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
                 float(stats.deviation)))
         else:
             clustered_all.append(clustered)
+
+    if long_reads is not None:
+        # long reads guide extension too (LongReadsExtensionChooser
+        # input from the aligned PathStorage; extenders_logic.cpp:469
+        # adds long-read extenders before the paired ones)
+        from ..mapping import long_read as lr_mod
+        lc, ll = long_reads
+        with _scope("rr_align_long_reads"):
+            alns = lr_mod.align_long_reads(g, lc, ll)
+        lr_paths = [(a.edge_path, 1.0) for a in alns
+                    if len(a.edge_path) >= 2]
+        if lr_paths:
+            specs.append(resolver.LibSpec(
+                None, kind="long", read_paths=lr_paths))
 
     if not specs:
         from ..io import fasta

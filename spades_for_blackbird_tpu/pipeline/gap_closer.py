@@ -67,22 +67,49 @@ def close_gaps(g: Graph, codes1, lengths1, codes2, lengths2,
         m1 = mapper.normalize_mapping(m1, g.conj)
         m2 = mapper.normalize_mapping(m2, g.conj)
 
-    oe1 = np.asarray(m1.oriented_edge) // 2
-    oe2 = np.asarray(m2.oriented_edge) // 2
-    ok = np.asarray(m1.mapped) & np.asarray(m2.mapped) & (oe1 != oe2)
+    # pair-support filtering ON DEVICE: only the deduplicated
+    # (dead-end, dead-start) pairs cross to the host (the raw per-read
+    # columns are MBs; the link moves KB/s)
     is_dead_end = np.zeros(E, bool)
     is_dead_end[list(dead_end)] = True
     is_dead_start = np.zeros(E, bool)
     is_dead_start[list(dead_start)] = True
-    p1, p2 = oe1[ok], oe2[ok]
-    keep = is_dead_end[p1] & is_dead_start[p2]
-    p1, p2 = p1[keep], p2[keep]
-    pairs_arr, counts_arr = np.unique(
-        np.stack([p1, p2], axis=1), axis=0, return_counts=True)
-    support = {(int(a), int(b)): int(c)
-               for (a, b), c in zip(pairs_arr, counts_arr)}
 
-    flat = np.asarray(g.seq_flat)
+    import jax
+
+    @jax.jit
+    def _support_pairs(oe1, oe2, ok1, ok2, de, ds):
+        p1 = oe1 // 2
+        p2 = oe2 // 2
+        ok = ok1 & ok2 & (p1 != p2)
+        ok = ok & de[jnp.clip(p1, 0, E - 1)] & ds[jnp.clip(p2, 0, E - 1)]
+        key = jnp.where(ok, p1.astype(jnp.int64) * E + p2, -1)
+        skey = jnp.sort(key)
+        uniq = jnp.concatenate([skey[:1] != skey[:1],
+                                skey[1:] != skey[:-1]]) & (skey >= 0)
+        uniq = uniq | (jnp.arange(skey.shape[0]) == 0) & (skey >= 0)
+        # run-length counts of the sorted keys
+        idx = jnp.cumsum(uniq.astype(jnp.int32)) - 1
+        n = skey.shape[0]
+        counts = jnp.zeros((n,), jnp.int32).at[
+            jnp.where(skey >= 0, idx, n - 1)].add(
+            (skey >= 0).astype(jnp.int32), mode="drop")
+        keys_out = jnp.zeros((n,), jnp.int64).at[
+            jnp.where(uniq, idx, n - 1)].max(skey, mode="drop")
+        n_uniq = jnp.sum(uniq.astype(jnp.int32))
+        return keys_out, counts, n_uniq
+
+    keys_out, counts_out, n_uniq = _support_pairs(
+        jnp.asarray(m1.oriented_edge), jnp.asarray(m2.oriented_edge),
+        jnp.asarray(m1.mapped), jnp.asarray(m2.mapped),
+        jnp.asarray(is_dead_end), jnp.asarray(is_dead_start))
+    nu = int(n_uniq)
+    kh = np.asarray(keys_out[:max(nu, 1)])[:nu]
+    ch = np.asarray(counts_out[:max(nu, 1)])[:nu]
+    support = {(int(kk) // E, int(kk) % E): int(cc)
+               for kk, cc in zip(kh, ch)}
+
+    flat = dna.pull_codes_packed(g.seq_flat)
     starts = np.asarray(g.seq_start)
 
     def seq_of(e):

@@ -101,7 +101,14 @@ def make_read_conversion(pe_pairs, interlaced, singles, log, mp_pairs=(),
     return Stage("read_conversion", run)
 
 
-def make_error_correction(log, k: int = 21, output_dir: str | None = None):
+def make_error_correction(log, k: int = 21, output_dir: str | None = None,
+                          write_corrected: bool = False):
+    """BayesHammer stage.  ``write_corrected``: dump corrected reads to
+    corrected/corrected.fastq.gz like the reference (whose per-K
+    processes re-read them).  This in-process pipeline passes the
+    corrected batch on-device, so the dump is opt-in — it forces a
+    full device->host pull of the read set, which dominates wall-clock
+    on a tunneled chip."""
     def run(ctx: PipelineContext):
         from ..hammer import correct as hammer_correct
         corrected, hstats = hammer_correct.correct_reads(
@@ -110,12 +117,13 @@ def make_error_correction(log, k: int = 21, output_dir: str | None = None):
         log(f"correction: {hstats}")
         ctx.codes = corrected
         ctx.params["hammer"] = hstats
-        if output_dir is not None:
+        if output_dir is not None and write_corrected:
             from ..io import fastq
             cdir = os.path.join(output_dir, "corrected")
             os.makedirs(cdir, exist_ok=True)
             path = os.path.join(cdir, "corrected.fastq.gz")
-            fastq.write_reads_fastq(path, ctx.codes, ctx.lengths)
+            fastq.write_reads_fastq(path, np.asarray(ctx.codes),
+                                    ctx.lengths)
             log(f"wrote {path}")
     return Stage("error_correction", run)
 
@@ -228,26 +236,29 @@ def _range_kind(r) -> str:
 
 
 def _paired_mate_arrays(ctx: PipelineContext):
+    # slice ON DEVICE: ctx.codes may be a (large) device array — a
+    # host round trip here costs minutes on a tunneled chip
     import jax.numpy as jnp
-    c, l = np.asarray(ctx.codes), np.asarray(ctx.lengths)
-    idx1 = np.concatenate([np.arange(r[0], r[0] + r[1])
-                           for r in ctx.paired_ranges])
-    idx2 = np.concatenate([np.arange(r[2], r[2] + r[3])
-                           for r in ctx.paired_ranges])
-    return (jnp.asarray(c[idx1]), jnp.asarray(l[idx1]),
-            jnp.asarray(c[idx2]), jnp.asarray(l[idx2]))
+    c, l = jnp.asarray(ctx.codes), jnp.asarray(ctx.lengths)
+    idx1 = jnp.asarray(np.concatenate(
+        [np.arange(r[0], r[0] + r[1]) for r in ctx.paired_ranges]))
+    idx2 = jnp.asarray(np.concatenate(
+        [np.arange(r[2], r[2] + r[3]) for r in ctx.paired_ranges]))
+    return (jnp.take(c, idx1, axis=0), jnp.take(l, idx1),
+            jnp.take(c, idx2, axis=0), jnp.take(l, idx2))
 
 
 def _paired_lib_arrays(ctx: PipelineContext):
     """Per-library mate arrays: [(c1, l1, c2, l2, kind)] — the per-lib
-    model (library.hpp SequencingLibrary) replacing pooled mates."""
+    model (library.hpp SequencingLibrary) replacing pooled mates.
+    Device-resident slices (contiguous ranges)."""
     import jax.numpy as jnp
-    c, l = np.asarray(ctx.codes), np.asarray(ctx.lengths)
+    c, l = jnp.asarray(ctx.codes), jnp.asarray(ctx.lengths)
     libs = []
     for r in ctx.paired_ranges:
         s1, n1, s2, n2 = r[0], r[1], r[2], r[3]
-        libs.append((jnp.asarray(c[s1:s1 + n1]), jnp.asarray(l[s1:s1 + n1]),
-                     jnp.asarray(c[s2:s2 + n2]), jnp.asarray(l[s2:s2 + n2]),
+        libs.append((c[s1:s1 + n1], l[s1:s1 + n1],
+                     c[s2:s2 + n2], l[s2:s2 + n2],
                      _range_kind(r)))
     return libs
 
@@ -310,6 +321,10 @@ def make_hybrid_aligning(long_read_files, log, name="hybrid_aligning"):
             return
         batches = [fastq.load_reads(p) for p in long_read_files]
         b = fastq.concat_batches(batches)
+        # keep the long-read batch for the RR long-read extension
+        # chooser (the PathStorage the reference fills here,
+        # hybrid_aligning.cpp:143-330)
+        ctx.params["long_read_batch"] = (b.codes, b.lengths)
         g, joined = long_read.hybrid_close_gaps(
             ctx.graph, b.codes, b.lengths)
         ctx.graph = g
@@ -419,7 +434,8 @@ def make_repeat_resolution(log, output_dir=None):
         sg_out: dict = {}
         final, scaffolds = assemble.repeat_resolution_multi(
             ctx.graph, libs, with_scaffolds=True, lib_data_out=lib_data,
-            scaffold_graph_out=sg_out)
+            scaffold_graph_out=sg_out,
+            long_reads=ctx.params.get("long_read_batch"))
         if output_dir is not None and "graph" in sg_out:
             # PrintScaffoldGraph (launcher.cpp:85): .scg dump + dot
             sg = sg_out["graph"]
@@ -508,7 +524,8 @@ def build_stage_list(args, ks, log, cfg=None):
                 log, output_dir=args.output_dir))
         else:
             stages.append(make_error_correction(
-                log, output_dir=args.output_dir))
+                log, output_dir=args.output_dir,
+                write_corrected=args.only_error_correction))
     if getattr(args, "assembly_graph", None):
         # LoadGraph replaces construction (load_graph.cpp:16-36)
         gfa_path = args.assembly_graph

@@ -204,6 +204,11 @@ class StageManager:
                 mem = ""
             self.log(f"== STAGE {stage.name} done in "
                      f"{time.time()-t0:.1f}s{mem}")
+            if timetrace.enabled():
+                # dump incrementally so a crash mid-pipeline still
+                # leaves the phase breakdown on disk
+                timetrace.dump(os.path.join(self.output_dir,
+                                            "spades_time_trace.json"))
             if self.checkpoints != "none":
                 sdir = os.path.join(self.saves_dir, stage.name)
                 ctx.save(sdir)

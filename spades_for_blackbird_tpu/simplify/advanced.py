@@ -26,8 +26,11 @@ smart-iterator loop — then the device recondense() re-contracts chains.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
+from ..ops import dna
 from ..graph.graph import Graph, edge_mask
 from ..utils.logger import get_logger
 
@@ -51,18 +54,54 @@ class HostGraph:
     """
 
     def __init__(self, g: Graph, v_space: int):
+        import jax
+        import jax.numpy as jnp
         self.k = g.k
         self.capacity = g.capacity
-        self.alive = np.asarray(edge_mask(g)).copy()
-        self.start_v = np.asarray(g.start_v).astype(np.int64).copy()
-        self.end_v = np.asarray(g.end_v).astype(np.int64).copy()
-        self.conj = np.asarray(g.conj).astype(np.int64).copy()
-        self.cov = np.asarray(g.cov).astype(np.float64).copy()
-        self.flank = (None if g.flank is None
-                      else np.asarray(g.flank).astype(np.float64).copy())
-        self.seq_start = np.asarray(g.seq_start).astype(np.int64).copy()
-        self.seq_len = np.asarray(g.seq_len).astype(np.int64).copy()
+        # pull only the ALIVE rows: device-side gather of the live rows
+        # into a dense block, then one small transfer — the edge table's
+        # capacity is mostly dead rows after cleaning, and device->host
+        # bytes are the scarce resource on a tunneled chip
+        alive_dev = edge_mask(g)
+        n_alive = int(jnp.sum(alive_dev))
+        E = g.capacity
+        self.alive = np.zeros(E, bool)
+        self.start_v = np.zeros(E, np.int64)
+        self.end_v = np.zeros(E, np.int64)
+        self.conj = np.zeros(E, np.int64)
+        self.cov = np.zeros(E, np.float64)
+        self.flank = None if g.flank is None else np.zeros(E, np.float64)
+        self.seq_start = np.zeros(E, np.int64)
+        self.seq_len = np.zeros(E, np.int64)
+        if n_alive:
+            cap = min(1 << max(1, n_alive - 1).bit_length(), E)
+
+            @functools.partial(jax.jit, static_argnames=("cap",))
+            def _gather(alive, sv, ev, cj, cv, fl, ss, sl, cap):
+                idx = jnp.nonzero(alive, size=cap, fill_value=0)[0]
+                cols = [idx.astype(jnp.int32), sv[idx], ev[idx],
+                        cj[idx], ss[idx], sl[idx]]
+                fcols = [cv[idx]] + ([] if fl is None else [fl[idx]])
+                return (jnp.stack([c.astype(jnp.int32) for c in cols]),
+                        jnp.stack(fcols).astype(jnp.float32))
+
+            icols, fcols = _gather(alive_dev, g.start_v, g.end_v,
+                                   g.conj, g.cov, g.flank,
+                                   g.seq_start, g.seq_len, cap=cap)
+            icols = np.asarray(icols)
+            fcols = np.asarray(fcols)
+            ids = icols[0, :n_alive]
+            self.alive[ids] = True
+            self.start_v[ids] = icols[1, :n_alive]
+            self.end_v[ids] = icols[2, :n_alive]
+            self.conj[ids] = icols[3, :n_alive]
+            self.seq_start[ids] = icols[4, :n_alive]
+            self.seq_len[ids] = icols[5, :n_alive]
+            self.cov[ids] = fcols[0, :n_alive]
+            if self.flank is not None:
+                self.flank[ids] = fcols[1, :n_alive]
         self.seq_flat = g.seq_flat  # immutable here
+        self._flat_host = None      # memoized packed pull
         self._g = g
         self.out: dict[int, list[int]] = {}
         self.inc: dict[int, list[int]] = {}
@@ -83,6 +122,13 @@ class HostGraph:
     def len_k(self, e: int) -> int:
         """Edge length in k-mers (the reference's g.length())."""
         return int(self.seq_len[e]) - self.k
+
+    def flat_host(self) -> np.ndarray:
+        """Host copy of the code buffer (packed pull, memoized)."""
+        if self._flat_host is None:
+            from ..ops import dna as _dna
+            self._flat_host = _dna.pull_codes_packed(self.seq_flat)
+        return self._flat_host
 
     def out_edges(self, v: int) -> list[int]:
         return [e for e in self.out.get(v, []) if self.alive[e]]
@@ -250,7 +296,7 @@ def _identity(hv: HostGraph, e: int, path: list[int],
     min_identity between the bulge and the alternative path sequence."""
     if min_identity <= 0.0:
         return True
-    flat = np.asarray(hv.seq_flat)
+    flat = hv.flat_host()
     s1 = flat[hv.seq_start[e]:hv.seq_start[e] + hv.seq_len[e]]
     parts = []
     for i, p in enumerate(path):
@@ -1144,7 +1190,7 @@ def mismatch_tip_mask(g: Graph, v_space: int, max_diff: float
     near read ends — the condition rna mode conjoins into its first tip
     clause (rna_mode.info tc condition "mmm 3 ...")."""
     hv = HostGraph(g, v_space)
-    flat = np.asarray(g.seq_flat)
+    flat = dna.pull_codes_packed(g.seq_flat)
     starts = hv.seq_start
     lens = hv.seq_len
     k = hv.k
@@ -1191,7 +1237,7 @@ def clip_low_complexity_tips(g: Graph, v_space: int,
     is dominated by one base (ATCondition(0.8, check_tip=true)) — the
     poly-A/poly-T artifact clipper of rnaSPAdes."""
     hv = HostGraph(g, v_space)
-    flat = np.asarray(g.seq_flat)
+    flat = dna.pull_codes_packed(g.seq_flat)
     n = 0
     for e in np.nonzero(hv.alive)[0]:
         e = int(e)
@@ -1218,7 +1264,7 @@ def remove_low_complexity_short_edges(g: Graph, v_space: int,
     """LowComplexityShortEdgeRemover (rna_simplification.hpp:18):
     1-k-mer edges dominated by one base, tip or not."""
     hv = HostGraph(g, v_space)
-    flat = np.asarray(g.seq_flat)
+    flat = dna.pull_codes_packed(g.seq_flat)
     n = 0
     for e in np.nonzero(hv.alive)[0]:
         e = int(e)

@@ -7,8 +7,8 @@ import numpy as np
 import pytest
 
 DATASET = "/root/reference/assembler/test_dataset"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(DATASET), reason="toy dataset unavailable")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    not os.path.isdir(DATASET), reason="toy dataset unavailable")]
 
 
 def run_cli(argv):

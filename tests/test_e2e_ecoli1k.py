@@ -12,8 +12,8 @@ import pytest
 
 DATASET = "/root/reference/assembler/test_dataset"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(DATASET), reason="toy dataset unavailable")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    not os.path.isdir(DATASET), reason="toy dataset unavailable")]
 
 
 def test_assemble_ecoli_1k_k33_exact():

@@ -23,8 +23,8 @@ DATASET = "/root/reference/assembler/test_dataset"
 GOLDEN = os.path.join(os.path.dirname(__file__), "goldens",
                       "ecoli1k_saves.json")
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(DATASET), reason="toy dataset unavailable")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    not os.path.isdir(DATASET), reason="toy dataset unavailable")]
 
 
 def _fingerprint_stage(stage_dir: str) -> dict:

@@ -122,6 +122,7 @@ def test_metaplasmid_iterate_finds_suspicious_component():
     assert last_cov > 50 or not _np.asarray(edge_mask(last_g)).any()
 
 
+@pytest.mark.slow
 def test_cli_metaplasmid_smoke(tmp_path):
     """metaplasmid CLI wiring: rising-cutoff chromosome removal emits
     per-cutoff suspicious components (components_NNNN.fasta,
@@ -182,6 +183,7 @@ def test_mode_overlays_viral_family():
     assert lg.scaffolding_mode == "old_pe_2015"
 
 
+@pytest.mark.slow
 def test_cli_rnaviral_smoke(tmp_path):
     """rnaviral CLI wiring: a toy viral genome assembles through the
     rnaviral mode overlay (rnaviral_mode.info) end to end."""
@@ -211,6 +213,7 @@ def test_cli_rnaviral_smoke(tmp_path):
     assert best[:80] in genome or nd.rc(best)[:80] in genome
 
 
+@pytest.mark.slow
 def test_cli_metaviral_smoke(tmp_path):
     """metaviral CLI wiring: chromosome removal runs and the distinct
     linear-candidate output (contigs.linears.fasta,

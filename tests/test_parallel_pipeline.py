@@ -18,6 +18,8 @@ from spades_for_blackbird_tpu.pipeline import assemble
 from spades_for_blackbird_tpu.utils import simulate
 from spades_for_blackbird_tpu.ops import dna
 
+pytestmark = pytest.mark.slow  # full-pipeline run
+
 
 def _reads(seed=11, genome_len=6000, n_pairs=900, read_len=60,
            insert=180.0):

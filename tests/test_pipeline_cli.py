@@ -10,8 +10,8 @@ import pytest
 
 DATASET = "/root/reference/assembler/test_dataset"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(DATASET), reason="toy dataset unavailable")
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    not os.path.isdir(DATASET), reason="toy dataset unavailable")]
 
 
 def test_multi_k_closes_k55_gap():

@@ -141,3 +141,52 @@ def test_diverged_repeat_copies_resolved():
     top = contigs[0][0]
     assert top in (genome, nd.rc(genome)), \
         f"top len {len(top)} vs {len(genome)}"
+
+
+def test_long_repeat_multiplicity_allows_both_traversals():
+    """A collapsed 2-copy repeat longer than unique_edge_length but
+    spanned by the insert: pair info resolves both exits, and the
+    multiplicity gate (scaff_supplementary.cpp cov/median copy count)
+    must allow the SECOND traversal instead of the old used-unique
+    claim starving it — recovering the full genome."""
+    A = random_dna(700, 11)   # longest: seeds first
+    R = random_dna(400, 12)   # >= unique_edge_length 300, cov ~2x
+    B = random_dna(500, 13)
+    C = random_dna(500, 14)
+    genome = A + R + B + R + C
+    r1s, r2s = make_paired(genome, L=50, IS=600, step=3)
+    codes, lengths = dna.encode_reads(r1s + r2s)
+    g = construct.graph_from_reads(codes, lengths, K)
+    c1, l1 = dna.encode_reads(r1s)
+    c2, l2 = dna.encode_reads(r2s)
+    contigs = assemble.repeat_resolution(g, c1, l1, c2, l2)
+    top = max((s for s, _ in contigs), key=len)
+    assert top in (genome, nd.rc(genome)), \
+        f"top len {len(top)} vs genome {len(genome)}"
+
+
+def test_long_reads_guide_repeat_resolution():
+    """LongReadsExtensionChooser (extension_chooser.hpp:1108): long
+    reads spanning A-R-B and B-R-C resolve the repeat exits that paired
+    info (IS < |R|) cannot, recovering the full genome."""
+    A = random_dna(700, 21)   # longest: seeds first
+    R = random_dna(600, 22)
+    B = random_dna(500, 23)
+    C = random_dna(500, 24)
+    genome = A + R + B + R + C
+    r1s, r2s = make_paired(genome, L=50, IS=200, step=3)
+    codes, lengths = dna.encode_reads(r1s + r2s)
+    g = construct.graph_from_reads(codes, lengths, K)
+    c1, l1 = dna.encode_reads(r1s)
+    c2, l2 = dna.encode_reads(r2s)
+    # error-free long reads tiling the genome with 1200bp windows,
+    # dense enough that each repeat exit has weight > the chooser's
+    # filtering threshold (2.0, extension_chooser.hpp:1162)
+    lr = [genome[i:i + 1200] for i in range(0, len(genome) - 1200, 100)]
+    lr.append(genome[-1200:])
+    lc, ll = dna.encode_reads(lr)
+    contigs = assemble.repeat_resolution_multi(
+        g, [(c1, l1, c2, l2, "pe")], long_reads=(lc, ll))
+    top = max((s for s, _ in contigs), key=len)
+    assert top in (genome, nd.rc(genome)), \
+        f"top len {len(top)} vs genome {len(genome)}"
