@@ -215,6 +215,7 @@ def count_kmers_stats_chunked(codes, lengths, quals, k: int,
     (the (2N, k) quality matrices of the on-device merge are the HBM
     peak), the accumulator spills to host RAM and the spills merge once
     at the end with a host lexsort + reduceat."""
+    from ..ops import chunking
     codes = jnp.asarray(codes)
     lengths = jnp.asarray(lengths)
     quals = jnp.asarray(quals)
@@ -222,16 +223,16 @@ def count_kmers_stats_chunked(codes, lengths, quals, k: int,
     if R <= chunk:
         table, stats = count_kmers_stats(codes, lengths, quals, k)
         return _trim_stats(table, stats)
+    # pad once + traced-offset slices: one compile per shape
+    codes_p = chunking.pad_to_multiple(codes, chunk, fill=4)
+    lengths_p = chunking.pad_to_multiple(lengths, chunk)
+    quals_p = chunking.pad_to_multiple(quals, chunk)
     table = stats = None
     spills = []
     for lo in range(0, R, chunk):
-        hi = min(lo + chunk, R)
-        c, l, q = codes[lo:hi], lengths[lo:hi], quals[lo:hi]
-        if hi - lo < chunk:
-            pad = chunk - (hi - lo)
-            c = jnp.pad(c, ((0, pad), (0, 0)), constant_values=4)
-            l = jnp.pad(l, (0, pad))
-            q = jnp.pad(q, ((0, pad), (0, 0)))
+        c = chunking.dslice(codes_p, lo, chunk)
+        l = chunking.dslice(lengths_p, lo, chunk)
+        q = chunking.dslice(quals_p, lo, chunk)
         t, s = count_kmers_stats(c, l, q, k)
         t, s = _trim_stats(t, s)
         if table is None:
@@ -543,26 +544,22 @@ def expand_solid_chunked(codes, lengths, table: counter.KmerTable,
     over binary read batches): each round streams fixed-shape read
     chunks, ORs their per-k-mer promotions, and stops at the fixed
     point.  Bounded (chunk, P) intermediates instead of (R, P)."""
-    import numpy as np
-    codes_h = np.asarray(codes)
-    lengths_h = np.asarray(lengths)
-    R = codes_h.shape[0]
+    from ..ops import chunking
+    codes = jnp.asarray(codes)
+    lengths = jnp.asarray(lengths)
+    R = codes.shape[0]
     if R <= chunk_reads:
-        return expand_solid(jnp.asarray(codes_h), jnp.asarray(lengths_h),
-                            table, solid, k, max_rounds=max_rounds)
+        return expand_solid(codes, lengths, table, solid, k,
+                            max_rounds=max_rounds)
     solid = jnp.asarray(solid)
+    codes_p = chunking.pad_to_multiple(codes, chunk_reads, fill=4)
+    lengths_p = chunking.pad_to_multiple(lengths, chunk_reads)
     for _ in range(max_rounds):
         promoted = jnp.zeros_like(solid)
         for lo in range(0, R, chunk_reads):
-            hi = min(lo + chunk_reads, R)
-            c, l = codes_h[lo:hi], lengths_h[lo:hi]
-            if hi - lo < chunk_reads:
-                pad = chunk_reads - (hi - lo)
-                c = np.concatenate(
-                    [c, np.full((pad, c.shape[1]), 4, c.dtype)])
-                l = np.concatenate([l, np.zeros(pad, l.dtype)])
-            promoted = promoted | _expand_round(
-                jnp.asarray(c), jnp.asarray(l), table, solid, k)
+            c = chunking.dslice(codes_p, lo, chunk_reads)
+            l = chunking.dslice(lengths_p, lo, chunk_reads)
+            promoted = promoted | _expand_round(c, l, table, solid, k)
         new_solid = solid | promoted
         if not bool(jnp.any(new_solid & ~solid)):
             break

@@ -138,23 +138,25 @@ def _run_chunked(fn, codes, lengths, chunk=_CHUNK):
     OpenMP read loop, read_corrector.cpp:19).  Chunk outputs stay ON
     DEVICE (concatenated there): round-tripping every corrected chunk
     through the host costs minutes per MB on a tunneled chip."""
+    from ..ops import chunking
     R = codes.shape[0]
     if R <= chunk:
         return fn(codes, lengths)
+    # pad once, slice with a traced offset: one compile per shape, not
+    # one per chunk offset (remote compiles are seconds each)
+    codes_p = chunking.pad_to_multiple(codes, chunk, fill=4)
+    lengths_p = chunking.pad_to_multiple(lengths, chunk)
     outs, changed, solid = [], [], 0
     for lo in range(0, R, chunk):
-        hi = min(lo + chunk, R)
-        c, l = codes[lo:hi], lengths[lo:hi]
-        if hi - lo < chunk:
-            c = jnp.pad(c, ((0, chunk - (hi - lo)), (0, 0)),
-                        constant_values=4)
-            l = jnp.pad(l, (0, chunk - (hi - lo)))
+        c = chunking.dslice(codes_p, lo, chunk)
+        l = chunking.dslice(lengths_p, lo, chunk)
         res = fn(c, l)
-        outs.append(res.codes[:hi - lo])
+        outs.append(res.codes)
         changed.append(res.changed_bases)
         solid = res.solid_kmers
     total_changed = jnp.sum(jnp.stack(changed)).astype(jnp.int32)
-    return CorrectionResult(jnp.concatenate(outs), total_changed, solid)
+    return CorrectionResult(jnp.concatenate(outs)[:R], total_changed,
+                            solid)
 
 
 def correct_reads(codes, lengths, k: int = 21, max_iterations: int = 2,

@@ -162,22 +162,22 @@ def count_kmers_chunked(codes, lengths, k: int,
     a fraction of the raw stream size). Host RAM holds only the running
     table.
     """
-    # slicing and padding happen ON DEVICE: a host round trip of the
-    # read batch per K iteration is the wall-clock on a tunneled chip
+    # slicing and padding happen ON DEVICE with traced offsets: a host
+    # round trip (or a per-offset slice compile) per chunk is the
+    # wall-clock on a tunneled chip
+    from ..ops import chunking
     codes = jnp.asarray(codes)
     lengths = jnp.asarray(lengths)
     R = codes.shape[0]
     if R <= chunk_reads:
         return count_kmers(codes, lengths, k)
+    codes_p = chunking.pad_to_multiple(codes, chunk_reads, fill=4)
+    lengths_p = chunking.pad_to_multiple(lengths, chunk_reads)
     pow2_trim = trim_table
     table = None
     for lo in range(0, R, chunk_reads):
-        hi = min(lo + chunk_reads, R)
-        c, l = codes[lo:hi], lengths[lo:hi]
-        if hi - lo < chunk_reads:  # pad the tail chunk to a stable shape
-            pad = chunk_reads - (hi - lo)
-            c = jnp.pad(c, ((0, pad), (0, 0)), constant_values=4)
-            l = jnp.pad(l, (0, pad))
+        c = chunking.dslice(codes_p, lo, chunk_reads)
+        l = chunking.dslice(lengths_p, lo, chunk_reads)
         part = pow2_trim(count_kmers(c, l, k))
         table = part if table is None else pow2_trim(
             merge_tables(table, part))

@@ -13,21 +13,12 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..ops import chunking
 from . import mapper
 
 # Default chunk: 2^16 reads x ~100bp -> ~6.5M votes per chunk, well
 # within one chip's HBM next to the edge index.
 DEFAULT_CHUNK = 1 << 16
-
-
-def _pad_chunk(codes, lengths, lo, hi, chunk):
-    c = codes[lo:hi]
-    l = lengths[lo:hi]
-    if hi - lo < chunk:
-        pad = chunk - (hi - lo)
-        c = jnp.pad(c, ((0, pad), (0, 0)))
-        l = jnp.pad(l, (0, pad))
-    return c, l
 
 
 def map_reads_chunked(index, seq_len, codes, lengths, k: int,
@@ -42,16 +33,17 @@ def map_reads_chunked(index, seq_len, codes, lengths, k: int,
     # chunk outputs stay ON DEVICE (device concat): a per-chunk host
     # round trip of the (R,) result columns costs minutes per 10 MB on
     # a tunneled chip
+    codes_p = chunking.pad_to_multiple(codes, chunk)
+    lengths_p = chunking.pad_to_multiple(lengths, chunk)
     fields = {"oriented_edge": [], "start": [], "votes": [], "mapped": []}
     for lo in range(0, R, chunk):
-        hi = min(lo + chunk, R)
-        c, l = _pad_chunk(codes, lengths, lo, hi, chunk)
+        c = chunking.dslice(codes_p, lo, chunk)
+        l = chunking.dslice(lengths_p, lo, chunk)
         m = mapper.map_reads(index, seq_len, c, l, k)
-        n = hi - lo
         for name in fields:
-            fields[name].append(getattr(m, name)[:n])
+            fields[name].append(getattr(m, name))
     return mapper.ReadMapping(
-        **{name: jnp.concatenate(v) for name, v in fields.items()})
+        **{name: jnp.concatenate(v)[:R] for name, v in fields.items()})
 
 
 def map_reads_multi_chunked(index, seq_len, codes, lengths, k: int,
@@ -66,16 +58,17 @@ def map_reads_multi_chunked(index, seq_len, codes, lengths, k: int,
         return mapper.map_reads_multi(index, seq_len, codes, lengths, k,
                                       max_placements=max_placements,
                                       min_votes=min_votes)
+    codes_p = chunking.pad_to_multiple(codes, chunk)
+    lengths_p = chunking.pad_to_multiple(lengths, chunk)
     fields = {"oriented_edge": [], "start": [], "votes": [],
               "chain_len": [], "mapped": []}
     for lo in range(0, R, chunk):
-        hi = min(lo + chunk, R)
-        c, l = _pad_chunk(codes, lengths, lo, hi, chunk)
+        c = chunking.dslice(codes_p, lo, chunk)
+        l = chunking.dslice(lengths_p, lo, chunk)
         m = mapper.map_reads_multi(index, seq_len, c, l, k,
                                    max_placements=max_placements,
                                    min_votes=min_votes)
-        n = hi - lo
         for name in fields:
-            fields[name].append(getattr(m, name)[:n])
+            fields[name].append(getattr(m, name))
     return mapper.ChainMapping(
-        **{name: jnp.concatenate(v) for name, v in fields.items()})
+        **{name: jnp.concatenate(v)[:R] for name, v in fields.items()})

@@ -134,17 +134,17 @@ def fill_paired_index_multi(m1, m2rc, is_shift: jax.Array) -> PairedIndex:
 
 def _chain_slice(ch, lo: int, hi: int, chunk: int):
     """Fixed-shape row slice of a ChainMapping (pad tail with unmapped).
-    Slicing happens ON DEVICE — chain arrays are (R, P) and a per-chunk
-    host round trip would dominate on a tunneled chip."""
+    Slicing happens ON DEVICE with a traced offset (ops/chunking): the
+    chain arrays are (R, P), and both a host round trip and a
+    per-offset slice compile would dominate on a tunneled chip."""
+    from ..ops import chunking
     out = {}
-    pad = chunk - (hi - lo)
     for name in ("oriented_edge", "start", "votes", "chain_len", "mapped"):
-        a = jnp.asarray(getattr(ch, name))[lo:hi]
-        if pad:
-            fill = -1 if name == "oriented_edge" else 0
-            width = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
-            a = jnp.pad(a, width, constant_values=fill)
-        out[name] = a
+        a = jnp.asarray(getattr(ch, name))
+        fill = -1 if name == "oriented_edge" else 0
+        a = chunking.pad_rows(a, ((a.shape[0] + chunk - 1) // chunk)
+                              * chunk, fill)
+        out[name] = chunking.dslice(a, lo, chunk)
     return type(ch)(**out)
 
 
