@@ -203,7 +203,7 @@ def _merge_spills_host(spills, k: int):
 
 def count_kmers_stats_chunked(codes, lengths, quals, k: int,
                               chunk: int = 1 << 15,
-                              device_cap_rows: int = 1 << 23
+                              device_cap_rows: int = 1 << 24
                               ) -> tuple[counter.KmerTable, KmerQualStats]:
     """`count_kmers_stats` over fixed-size read chunks: each chunk's
     (R*P)-row sort and (R*P, k) quality matrices stay bounded; chunk

@@ -69,17 +69,32 @@ def _dzeta(copies: np.ndarray, p: float) -> np.ndarray:
     return np.power(copies, -p - 1.0) / zeta(p + 1.0)
 
 
+_SQRT_2PI = np.sqrt(2.0 * np.pi)
+
+
+def _skewnorm_pdf(x: np.ndarray, a: float, loc: float,
+                  scale: float) -> np.ndarray:
+    """Skew-normal pdf 2/w * phi(t) * Phi(a t), t=(x-loc)/w — direct
+    numpy (scipy.stats.skewnorm's frozen-dist machinery costs ~1 ms per
+    call and sits inside the Nelder-Mead inner loop)."""
+    from scipy.special import ndtr
+    t = (x - loc) / scale
+    return (2.0 / scale) * np.exp(-0.5 * t * t) / _SQRT_2PI * ndtr(a * t)
+
+
 def _pgood(i: np.ndarray, zp: float, u: float, sd: float,
            shape2: float) -> np.ndarray:
     """Copy-series density: sum over copy c of dzeta(c, zp) *
     skew_normal(c*u, sd*sqrt(c), shape2).pdf(i) (cpp:45-56)."""
-    from scipy.stats import skewnorm
     copies = np.arange(1, _MAX_COPY + 1, dtype=np.float64)
     mix = _dzeta(copies, zp)
-    res = np.zeros_like(i, dtype=np.float64)
-    for c, m in zip(copies, mix):
-        res += m * skewnorm.pdf(i, shape2, loc=c * u,
-                                scale=sd * np.sqrt(c))
+    # vectorized over (copies, bins)
+    scales = sd * np.sqrt(copies)
+    t = (i[None, :] - (copies * u)[:, None]) / scales[:, None]
+    from scipy.special import ndtr
+    pdf = (2.0 / scales[:, None]) * np.exp(-0.5 * t * t) / _SQRT_2PI \
+        * ndtr(shape2 * t)
+    res = (mix[:, None] * pdf).sum(axis=0)
     return np.maximum(res, 1e-300)
 
 
