@@ -65,14 +65,26 @@ def main():
         dt = sorted(times)[len(times) // 2]
         return R * (L - k + 1) / dt
 
+    import signal
+
+    def _alarm(sig, frame):
+        raise TimeoutError("bench path timed out")
+
+    signal.signal(signal.SIGALRM, _alarm)
+
     results = {}
     for name, fn in (("xla", counter.count_kmers),
                      ("bitonic", counter.count_kmers_bitonic)):
         for iname, arr in (("uniform", codes_u), ("coverage40x", codes_c)):
             try:
+                # hard per-path timeout: a Mosaic kernel stuck in the
+                # remote compile service must not sink the whole bench
+                signal.alarm(420 if name == "bitonic" else 900)
                 results[f"{name}_{iname}"] = round(bench_one(fn, arr), 1)
             except Exception as e:  # keep the bench robust to one path
                 results[f"{name}_{iname}"] = f"error: {e}"[:120]
+            finally:
+                signal.alarm(0)
 
     numeric = [v for v in results.values() if isinstance(v, float)]
     rate = max(numeric)

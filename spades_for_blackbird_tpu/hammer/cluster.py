@@ -57,52 +57,56 @@ def _masked_variants(kmers: jax.Array, k: int) -> jax.Array:
 @functools.partial(jax.jit, static_argnames=("k", "n_rounds"))
 def cluster_kmers(kmers: jax.Array, counts: jax.Array, num: jax.Array,
                   k: int, good_threshold: jax.Array,
-                  center_ratio: jax.Array, n_rounds: int = 8
+                  center_ratio: jax.Array, n_rounds: int = 2
                   ) -> HammerClusters:
     """Cluster unique k-mers (N, W) by Hamming-distance-1 connectivity.
+
+    One wildcard POSITION per loop step (the reference's tau sub-k-mer
+    sort passes, hamcluster.cpp): clear position p's 2 bits, sort the
+    (N, W) masked keys, and min-propagate labels within equal-key runs.
+    Memory stays O(N*W) — materializing all k variants at once is an
+    (N, k, W) tensor whose TPU tile padding explodes 6x (OOM at
+    N = 2^24).  Sequential per-position propagation with path
+    compression converges in far fewer outer rounds than the batch
+    variant (Gauss-Seidel vs Jacobi), so n_rounds=2 suffices.
 
     Args:
       kmers/counts/num: unique k-mer table (padded ragged).
       good_threshold: counts >= this are solid regardless of clustering.
       center_ratio: a member is an error of its center when
         count * center_ratio <= center_count.
-      n_rounds: label-propagation rounds (each round halves diameter;
-        error clusters are shallow, 8 is generous).
     """
     N, W = kmers.shape
     valid = jnp.arange(N) < num
+    owner0 = jnp.arange(N, dtype=jnp.int32)
+    bpw = dna.BASES_PER_WORD
 
-    variants = _masked_variants(kmers, k)               # (N, k, W)
-    vpos = jnp.broadcast_to(jnp.arange(k, dtype=jnp.uint32)[None, :],
-                            (N, k))
-    owner = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
-                             (N, k))
-    rows = jnp.concatenate(
-        [vpos.reshape(-1, 1), variants.reshape(-1, W)], axis=1)
-    vvalid = jnp.repeat(valid, k)
-    srows, (sowner,), svalid = segments.sort_by_key_rows(
-        rows, (owner.reshape(-1),), vvalid)
-    seg_start = (~segments.rows_equal_prev(srows)) & svalid
-    gid = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
-    NV = srows.shape[0]
-    gid = jnp.where(svalid, jnp.maximum(gid, 0), NV)
-
-    # label propagation: rep starts as identity; each round, every variant
-    # group takes the min rep of its members and members adopt it.
-    rep = jnp.arange(N, dtype=jnp.int32)
-
-    def body(_, rep):
+    def step(i, rep):
+        pos = i % k
+        word = pos // bpw
+        slot = pos % bpw
+        shift = ((bpw - 1 - slot) * 2).astype(jnp.uint32)
+        mask = ~(jnp.uint32(3) << shift)
+        clear = jnp.where(jnp.arange(W) == word, mask,
+                          jnp.uint32(0xFFFFFFFF))       # (W,)
+        key = kmers & clear[None, :]                    # (N, W)
+        skeys, (sowner,), svalid = segments.sort_by_key_rows(
+            key, (owner0,), valid)
+        seg_start = (~segments.rows_equal_prev(skeys)) & svalid
+        gid = jnp.cumsum(seg_start.astype(jnp.int32)) - 1
+        gid = jnp.where(svalid, jnp.maximum(gid, 0), N)
         labels = rep[jnp.minimum(sowner, N - 1)]
-        gmin = jnp.full((NV,), N, jnp.int32).at[gid].min(
+        gmin = jnp.full((N,), N, jnp.int32).at[gid].min(
             jnp.where(svalid, labels, N), mode="drop")
-        new_label = gmin[jnp.minimum(gid, NV - 1)]
+        new_label = gmin[jnp.minimum(gid, N - 1)]
         upd = jnp.full((N,), N, jnp.int32).at[
             jnp.where(svalid, sowner, N)].min(new_label, mode="drop")
         rep = jnp.minimum(rep, jnp.where(upd < N, upd, rep))
         # path-compress: follow rep once
         return jnp.minimum(rep, rep[rep])
 
-    rep = jax.lax.fori_loop(0, n_rounds, body, rep)
+    rep = jax.lax.fori_loop(0, n_rounds * k, step,
+                            jnp.arange(N, dtype=jnp.int32))
     rep = jnp.where(valid, rep, N)
 
     # center election: max count per cluster, ties to smallest index

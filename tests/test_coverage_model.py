@@ -54,6 +54,7 @@ def test_fit_coverage_model_uses_reference_fit():
     assert abs(info.mean_coverage - 40.0) < 6.0
 
 
+@pytest.mark.slow
 def test_two_strain_spectrum_motivates_uneven_path():
     """A two-strain metagenome (5x + 45x) has no single genomic peak:
     the single-peak mixture locks onto the dominant strain and sets a
@@ -80,6 +81,7 @@ def test_two_strain_spectrum_motivates_uneven_path():
     assert meta.uneven_depth
 
 
+@pytest.mark.slow
 def test_uneven_depth_pipeline_path():
     """assemble_single_k(uneven_depth=True) must route the EC bound
     through the graph-based finder and still assemble a two-strain mix
