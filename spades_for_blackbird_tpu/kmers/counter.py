@@ -152,7 +152,7 @@ def trim_table(t: KmerTable) -> KmerTable:
 
 
 def count_kmers_chunked(codes, lengths, k: int,
-                        chunk_reads: int = 1 << 20) -> KmerTable:
+                        chunk_reads: int | None = None) -> KmerTable:
     """Count k-mers of a batch too large for device memory in one sort.
 
     The reference splits k-mers into disk bucket files and merges sorted
@@ -166,6 +166,14 @@ def count_kmers_chunked(codes, lengths, k: int,
     # round trip (or a per-offset slice compile) per chunk is the
     # wall-clock on a tunneled chip
     from ..ops import chunking
+    if chunk_reads is None:
+        # SFB_COUNT_CHUNK_LOG2 lets a babysat resume dodge a chunk
+        # shape whose remote compile request was dropped (the compile
+        # service occasionally eats a request and the client blocks
+        # forever; a different shape is a fresh request)
+        import os
+        chunk_reads = 1 << int(os.environ.get("SFB_COUNT_CHUNK_LOG2",
+                                              "20"))
     codes = jnp.asarray(codes)
     lengths = jnp.asarray(lengths)
     R = codes.shape[0]
