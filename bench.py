@@ -10,84 +10,110 @@ Baseline estimate: the reference counts the isolate dataset's ~2.2e9
 (/root/reference/README.md:119-128); attributing ~2 minutes to counting
 gives ~1.9e7 k-mers/s. ``vs_baseline`` = ours / that estimate.
 
-Runs on the default environment (real TPU chip via axon). Prints ONE JSON
-line.
+Robustness: the tunneled TPU pool intermittently drops compile requests,
+leaving the client blocked at zero CPU *inside a C call* — an in-process
+SIGALRM cannot interrupt that, which is how BENCH_r04 died before its own
+guards fired. The parent process therefore never imports jax: every
+(engine, input) path runs in its own subprocess with a hard wall-clock
+timeout, killed by process group on overrun. One timed-out path cannot
+sink the bench.
 """
 
 import json
+import os
+import signal
+import subprocess
+import sys
 import time
 
-import numpy as np
+
+PATHS = [
+    # (engine, input, timeout_s)
+    ("xla", "uniform", 900),
+    ("xla", "coverage40x", 600),
+    ("bitonic", "uniform", 600),
+    ("bitonic", "coverage40x", 420),
+]
 
 
-def main():
+def worker(engine: str, iname: str) -> None:
+    """Run one bench path; print one JSON line {"rate": ...}."""
+    import numpy as np
     import jax
+    import jax.numpy as jnp
     from spades_for_blackbird_tpu.utils.jaxcache import (
         enable_compilation_cache)
     enable_compilation_cache()
     from spades_for_blackbird_tpu.kmers import counter
 
-    import jax.numpy as jnp
-
     k = 21
     R, L = 262144, 150
     rng = np.random.default_rng(0)
-    # input A: uniform-random reads (near-zero k-mer duplication)
-    codes_u = rng.integers(0, 4, (R, L), dtype=np.uint8)
-    # input B: coverage-realistic — reads drawn from a genome at ~40x
-    # (the reference's isolate conditions, README.md:90: real read sets
-    # hit the counter with coverage-fold duplication)
-    G = R * L // 40
-    genome = rng.integers(0, 4, G, dtype=np.uint8)
-    starts = rng.integers(0, G - L, R)
-    codes_c = np.stack([genome[s:s + L] for s in starts])
+    if iname == "uniform":
+        # near-zero k-mer duplication
+        codes_np = rng.integers(0, 4, (R, L), dtype=np.uint8)
+    else:
+        # coverage-realistic: reads drawn from a genome at ~40x (the
+        # reference's isolate conditions, README.md:90)
+        G = R * L // 40
+        genome = rng.integers(0, 4, G, dtype=np.uint8)
+        starts = rng.integers(0, G - L, R)
+        codes_np = np.stack([genome[s:s + L] for s in starts])
     lengths_np = np.full((R,), L, dtype=np.int32)
 
-    def bench_one(fn, codes_np):
-        codes = jax.device_put(codes_np)
-        lengths = jax.device_put(lengths_np)
+    fn = counter.count_kmers if engine == "xla" else \
+        counter.count_kmers_bitonic
 
-        @jax.jit
-        def step(c, l, salt):
-            # salt the input so every iteration is distinct work (guards
-            # against dispatch/result caching in remote backends)
-            c = (c + salt.astype(jnp.uint8)) % jnp.uint8(4)
-            return fn(c, l, k).num
+    codes = jax.device_put(codes_np)
+    lengths = jax.device_put(lengths_np)
 
-        int(step(codes, lengths, jnp.int32(0)))  # compile + sync
-        # sync via host transfer every iteration: on the tunneled
-        # backend only a device->host read observes completion
-        times = []
-        for i in range(5):
-            t0 = time.perf_counter()
-            int(step(codes, lengths, jnp.int32(i + 1)))
-            times.append(time.perf_counter() - t0)
-        dt = sorted(times)[len(times) // 2]
-        return R * (L - k + 1) / dt
+    @jax.jit
+    def step(c, l, salt):
+        # salt the input so every iteration is distinct work (guards
+        # against dispatch/result caching in remote backends)
+        c = (c + salt.astype(jnp.uint8)) % jnp.uint8(4)
+        return fn(c, l, k).num
 
-    import signal
+    int(step(codes, lengths, jnp.int32(0)))  # compile + sync
+    # sync via host transfer every iteration: on the tunneled backend
+    # only a device->host read observes completion
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        int(step(codes, lengths, jnp.int32(i + 1)))
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
+    print(json.dumps({"rate": R * (L - k + 1) / dt}))
 
-    def _alarm(sig, frame):
-        raise TimeoutError("bench path timed out")
 
-    signal.signal(signal.SIGALRM, _alarm)
-
+def main() -> None:
     results = {}
-    for name, fn in (("xla", counter.count_kmers),
-                     ("bitonic", counter.count_kmers_bitonic)):
-        for iname, arr in (("uniform", codes_u), ("coverage40x", codes_c)):
+    deadline = time.time() + float(os.environ.get("BENCH_BUDGET_S", 2400))
+    for engine, iname, tmo in PATHS:
+        key = f"{engine}_{iname}"
+        tmo = min(tmo, max(30, int(deadline - time.time())))
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--worker", engine, iname],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            start_new_session=True, text=True)
+        try:
+            out, _ = proc.communicate(timeout=tmo)
+            line = out.strip().splitlines()[-1] if out.strip() else "{}"
+            rate = json.loads(line).get("rate")
+            results[key] = round(rate, 1) if rate else "error: no output"
+        except subprocess.TimeoutExpired:
             try:
-                # hard per-path timeout: a Mosaic kernel stuck in the
-                # remote compile service must not sink the whole bench
-                signal.alarm(420 if name == "bitonic" else 900)
-                results[f"{name}_{iname}"] = round(bench_one(fn, arr), 1)
-            except Exception as e:  # keep the bench robust to one path
-                results[f"{name}_{iname}"] = f"error: {e}"[:120]
-            finally:
-                signal.alarm(0)
+                os.killpg(proc.pid, signal.SIGKILL)
+            except OSError:
+                pass
+            proc.wait()
+            results[key] = f"timeout: {tmo}s"
+        except Exception as e:
+            results[key] = f"error: {e}"[:120]
 
     numeric = [v for v in results.values() if isinstance(v, float)]
-    rate = max(numeric)
+    rate = max(numeric) if numeric else 0.0
     baseline = 1.9e7
     print(json.dumps({
         "metric": "kmer_count_throughput",
@@ -99,4 +125,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(sys.argv[2], sys.argv[3])
+    else:
+        main()

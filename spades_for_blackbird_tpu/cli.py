@@ -126,6 +126,16 @@ def build_parser() -> argparse.ArgumentParser:
                    default="last", help="per-stage saves policy")
     p.add_argument("--trace-time", action="store_true",
                    help="emit Chrome-trace JSON of stage/phase timings")
+    p.add_argument("--supervise", type=int, nargs="?", const=8,
+                   default=None, metavar="N",
+                   help="run the pipeline as a watchdogged child "
+                        "process: a run with no CPU progress (hung "
+                        "remote compile) is killed and resumed from "
+                        "the last stage checkpoint, up to N attempts "
+                        "(default 8)")
+    p.add_argument("--supervise-stall-s", type=float, default=480.0,
+                   help="zero-CPU-progress seconds before a supervised "
+                        "run is killed and resumed")
     p.add_argument("--threads", "-t", type=int, default=None,
                    help="accepted for CLI compatibility (device-parallel)")
     p.add_argument("--memory", "-m", type=int, default=None,
@@ -141,6 +151,26 @@ TEST_DATASET = "/root/reference/assembler/test_dataset"
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.supervise is not None:
+        # re-run self under the watchdog with the flag stripped
+        from .pipeline.supervisor import supervise_cli
+        raw = list(sys.argv[1:] if argv is None else argv)
+        child: list[str] = []
+        i = 0
+        while i < len(raw):
+            if raw[i] in ("--supervise", "--supervise-stall-s"):
+                i += 1
+                if i < len(raw) and not raw[i].startswith("-"):
+                    i += 1
+                continue
+            if raw[i].startswith(("--supervise=",
+                                  "--supervise-stall-s=")):
+                i += 1
+                continue
+            child.append(raw[i])
+            i += 1
+        return supervise_cli(child, max_attempts=args.supervise,
+                             stall_s=args.supervise_stall_s)
     from .utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
     from .io import fastq
