@@ -201,20 +201,67 @@ def _merge_spills_host(spills, k: int):
     return table, stats
 
 
+@functools.partial(jax.jit, static_argnames=("k",),
+                   donate_argnums=(5, 6))
+def _accum_stats(tkmers, tnum, codes, lengths, quals,
+                 total_lq, qual_sum, k: int):
+    """Scatter one read chunk's quality statistics into the final-table
+    accumulators: canonical extraction + sorted-table lookup + two
+    scatter-adds. No sort, no merge — the table already exists."""
+    canon, valid, is_fwd = kmer.extract_canonical_kmers(codes, lengths, k)
+    R, P, W = canon.shape
+    q = jnp.maximum(quals.astype(jnp.float32) - 33.0, 0.0)
+    perr = jnp.where(q < 3.0, 0.75, jnp.power(10.0, -q / 10.0))
+    lp = jnp.log1p(-perr)
+    cs0 = jnp.concatenate([jnp.zeros((R, 1), jnp.float32),
+                           jnp.cumsum(lp, axis=1)], axis=1)
+    lp_inst = cs0[:, k:P + k] - cs0[:, :P]
+    lq_inst = jnp.log1p(-jnp.minimum(jnp.exp(lp_inst), 1.0 - 1e-12))
+
+    flat = canon.reshape(-1, W)
+    fvalid = valid.reshape(-1)
+    idx = segments.searchsorted_rows(tkmers, flat)
+    U = total_lq.shape[0]
+    ok = fvalid & (idx < tnum)
+    sidx = jnp.where(ok, idx, U)
+    total_lq = total_lq.at[sidx].add(lq_inst.reshape(-1), mode="drop")
+
+    offs = jnp.arange(k)
+    inst = jnp.arange(R * P, dtype=jnp.int32)
+    rpos = inst // P
+    ppos = inst % P
+    fwd = is_fwd.reshape(-1)
+    col = jnp.where(fwd[:, None], offs[None, :], (k - 1 - offs)[None, :])
+    qv = q[rpos[:, None], ppos[:, None] + col]          # (R*P, k)
+    qual_sum = qual_sum.at[
+        sidx[:, None],
+        jnp.broadcast_to(offs[None, :], (R * P, k))].add(qv, mode="drop")
+    return total_lq, qual_sum
+
+
 def count_kmers_stats_chunked(codes, lengths, quals, k: int,
                               chunk: int = 1 << 15,
                               device_cap_rows: int = 1 << 24
                               ) -> tuple[counter.KmerTable, KmerQualStats]:
-    """`count_kmers_stats` over fixed-size read chunks: each chunk's
-    (R*P)-row sort and (R*P, k) quality matrices stay bounded; chunk
-    tables trim to their unique counts and merge with stat summation.
-    This is the out-of-core path for real libraries (the reference
-    counts through disk buckets, kmer_data.cpp KMerDataCounter).
+    """`count_kmers_stats` for libraries too large for one device sort,
+    as TWO passes (the reference streams disk buckets twice in spirit:
+    kmer_data.cpp KMerDataCounter first builds the index, then fills
+    per-k-mer statistics under locks, kmer_data.cpp:119-155):
 
-    When the accumulated device table would exceed ``device_cap_rows``
-    (the (2N, k) quality matrices of the on-device merge are the HBM
-    peak), the accumulator spills to host RAM and the spills merge once
-    at the end with a host lexsort + reduceat."""
+    1. key-only chunked counting (counter.count_kmers_chunked — large
+       chunks, cheap (key, count) device merges) builds the final
+       sorted unique table;
+    2. each read chunk's instances look up their table row (sorted-
+       array searchsorted) and scatter-add ``total_lq`` / ``qual_sum``
+       into accumulators preallocated at the final size.
+
+    The round-4 design merged (N, k) quality matrices pairwise and
+    spilled oversize accumulators to the host; at 4.6 Mb the merge work
+    grew O(chunks x table) and the spill pulls crossed the tunnel's
+    KB/s-class device->host path (1,212 s of EC). Two passes do O(R)
+    scatter work, keep every byte on device, and need no spills until
+    the (U, k) accumulator itself exceeds ``device_cap_rows`` rows —
+    then the old merge/spill path runs instead."""
     from ..ops import chunking
     codes = jnp.asarray(codes)
     lengths = jnp.asarray(lengths)
@@ -223,7 +270,34 @@ def count_kmers_stats_chunked(codes, lengths, quals, k: int,
     if R <= chunk:
         table, stats = count_kmers_stats(codes, lengths, quals, k)
         return _trim_stats(table, stats)
-    # pad once + traced-offset slices: one compile per shape
+    table = counter.trim_table(
+        counter.count_kmers_chunked(codes, lengths, k))
+    if table.capacity > device_cap_rows:
+        return _count_kmers_stats_chunked_spill(
+            codes, lengths, quals, k, chunk, device_cap_rows)
+    U = table.capacity
+    total_lq = jnp.zeros((U,), jnp.float32)
+    qual_sum = jnp.zeros((U, k), jnp.float32)
+    codes_p = chunking.pad_to_multiple(codes, chunk, fill=4)
+    lengths_p = chunking.pad_to_multiple(lengths, chunk)
+    quals_p = chunking.pad_to_multiple(quals, chunk)
+    for lo in range(0, R, chunk):
+        c = chunking.dslice(codes_p, lo, chunk)
+        l = chunking.dslice(lengths_p, lo, chunk)
+        q = chunking.dslice(quals_p, lo, chunk)
+        total_lq, qual_sum = _accum_stats(
+            table.kmers, table.num, c, l, q, total_lq, qual_sum, k)
+    qual_sum = jnp.minimum(qual_sum, float(QUAL_CAP))
+    return table, KmerQualStats(total_lq=total_lq, qual_sum=qual_sum)
+
+
+def _count_kmers_stats_chunked_spill(codes, lengths, quals, k: int,
+                                     chunk: int, device_cap_rows: int
+                                     ) -> tuple[counter.KmerTable,
+                                                KmerQualStats]:
+    """Round-4 merge/spill fallback for tables beyond HBM capacity."""
+    from ..ops import chunking
+    R = codes.shape[0]
     codes_p = chunking.pad_to_multiple(codes, chunk, fill=4)
     lengths_p = chunking.pad_to_multiple(lengths, chunk)
     quals_p = chunking.pad_to_multiple(quals, chunk)

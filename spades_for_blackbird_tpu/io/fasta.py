@@ -12,13 +12,15 @@ from ..graph.graph import Graph, edge_mask
 from ..ops import dna
 
 
-def graph_contigs(g: Graph, min_length: int = 0
-                  ) -> list[tuple[str, float]]:
+def graph_contigs(g: Graph, min_length: int = 0, with_edges: bool = False
+                  ) -> list:
     """Alive edges as (sequence, coverage), one per conjugate pair.
 
     Of each conjugate pair, the edge whose id is <= its conjugate's is
     emitted (self-conjugate edges emit once). Sorted by descending length
-    then sequence for determinism.
+    then sequence for determinism. ``with_edges`` appends the edge id to
+    each row (for path output when repeat resolution is skipped — the
+    reference's 'rr disabled' branch still writes contigs.paths).
     """
     alive = np.asarray(edge_mask(g))
     conj = np.asarray(g.conj)
@@ -34,9 +36,11 @@ def graph_contigs(g: Graph, min_length: int = 0
         if lens[e] < min_length:
             continue
         seq = dna.decode_codes(flat[starts[e]:starts[e] + lens[e]])
-        out.append((seq, float(covs[e])))
+        out.append((seq, float(covs[e]), int(e)))
     out.sort(key=lambda sc: (-len(sc[0]), sc[0]))
-    return out
+    if with_edges:
+        return out
+    return [(s, c) for s, c, _ in out]
 
 
 def write_contigs_fasta(path: str, contigs: list[tuple[str, float]],

@@ -26,14 +26,86 @@ def _segments(g: Graph):
     return segs, alive, conj
 
 
-def write_gfa(path: str, g: Graph) -> None:
+def segment_naming(g: Graph):
+    """Edge id -> (segment name, orientation) for GFA/paths output.
+
+    The canonical edge of each conjugate pair is '+'; names are dense
+    ints 1..n (io/utils/edge_namer.hpp BasicNamingF equivalent).
+    """
     segs, alive, conj = _segments(g)
     seg_of = {}      # edge id -> (segment name, orientation char)
-    names = {}
     for i, (e, ce) in enumerate(segs, start=1):
         seg_of[e] = (i, "+")
         seg_of[ce] = (i, "-")
-        names[i] = e
+    return segs, seg_of, alive, conj
+
+
+def _split_path_segments(g: Graph, chain, seg_of):
+    """Split an (edge, gap) chain at discontinuities: graph-nonadjacent
+    consecutive edges or positive gaps (GFAPathWriter::WritePaths,
+    bidirectional_path_output.hpp:90-103 split rule).
+
+    Returns a list of segments, each a list of 'name[+-]' strings.
+    """
+    start_v = np.asarray(g.start_v)
+    end_v = np.asarray(g.end_v)
+    segments, cur = [], []
+    prev_e = None
+    for e, gap in chain:
+        if e not in seg_of:
+            continue
+        s, o = seg_of[e]
+        if prev_e is not None and (gap > 0
+                                   or end_v[prev_e] != start_v[e]):
+            segments.append(cur)
+            cur = []
+        cur.append(f"{s}{o}")
+        prev_e = e
+    if cur:
+        segments.append(cur)
+    return segments
+
+
+def conjugate_chain(g: Graph, chain):
+    """The reverse-complement path: reversed conjugate edges, gaps
+    shifted to stay *before* the edge they preceded (GetConjPath)."""
+    conj = np.asarray(g.conj)
+    rev = []
+    gaps = [gap for _, gap in chain][1:] + [0]
+    for (e, _), gap_after in zip(reversed(chain), reversed(gaps)):
+        rev.append((int(conj[e]), int(gap_after)))
+    # first edge of a path carries no gap
+    if rev:
+        rev[0] = (rev[0][0], 0)
+    return rev
+
+
+def write_paths_file(path: str, g: Graph, named_paths) -> None:
+    """contigs.paths / scaffolds.paths: per path, the name line then the
+    edge-orientation string ('52+,43-' with ';\\n' at breaks), then the
+    conjugate path under name' (FastgPathWriter::WritePaths,
+    bidirectional_path_output.hpp:55-63 + ToPathString :25-37).
+
+    ``named_paths``: list of (name, chain) with chain = [(edge, gap)].
+    """
+    _, seg_of, _, _ = segment_naming(g)
+    with open(path, "w") as f:
+        for name, chain in named_paths:
+            for nm, ch in ((name, chain),
+                           (name + "'", conjugate_chain(g, chain))):
+                segs = _split_path_segments(g, ch, seg_of)
+                if not segs:
+                    continue
+                f.write(nm + "\n")
+                f.write(";\n".join(",".join(s) for s in segs) + "\n")
+
+
+def write_gfa(path: str, g: Graph, paths=None) -> None:
+    """GFA1 graph; ``paths`` (list of (name, [(edge, gap)])) adds one
+    P record per contiguous path segment (GFAPathWriter::WritePaths,
+    bidirectional_path_output.hpp:70-103; the reference populates these
+    from the scaffold storage, contig_output_stage.cpp:105-112)."""
+    segs, seg_of, alive, conj = segment_naming(g)
 
     starts = np.asarray(g.seq_start)
     lens = np.asarray(g.seq_len)
@@ -68,17 +140,24 @@ def write_gfa(path: str, g: Graph) -> None:
                     continue
                 emitted.add(key)
                 f.write(f"L\t{s1}\t{o1}\t{s2}\t{o2}\t{k}M\n")
+        if paths:
+            for name, chain in paths:
+                psegs = _split_path_segments(g, chain, seg_of)
+                for sid, seg in enumerate(psegs, start=1):
+                    f.write(f"P\t{name}_{sid}\t{','.join(seg)}\t*\n")
 
 
-def read_gfa(path: str):
+def read_gfa(path: str, with_paths: bool = False):
     """Minimal GFA reader (segments + links), for --assembly-graph input
     (the fork's load_graph stage, projects/spades/load_graph.cpp:16).
 
     Returns (segments: dict name -> (seq, cov), links: list of
-    (name1, orient1, name2, orient2, overlap)).
+    (name1, orient1, name2, orient2, overlap)); with ``with_paths``,
+    also a list of (path_name, ['seg+', 'seg-', ...]) from P records.
     """
     segments = {}
     links = []
+    paths = []
     with open(path) as f:
         for line in f:
             parts = line.rstrip("\n").split("\t")
@@ -96,4 +175,8 @@ def read_gfa(path: str):
             elif parts[0] == "L":
                 ov = int(parts[5].rstrip("M")) if len(parts) > 5 else 0
                 links.append((parts[1], parts[2], parts[3], parts[4], ov))
+            elif parts[0] == "P" and len(parts) > 2:
+                paths.append((parts[1], parts[2].split(",")))
+    if with_paths:
+        return segments, links, paths
     return segments, links

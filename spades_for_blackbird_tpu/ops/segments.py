@@ -154,7 +154,12 @@ def searchsorted_rows(haystack: jax.Array, needles: jax.Array) -> jax.Array:
     M = needles.shape[0]
     lo = jnp.zeros((M,), jnp.int32)
     hi = jnp.full((M,), N, jnp.int32)
-    n_iters = max(1, (N - 1).bit_length()) if N > 1 else 1
+    # the [lo, hi) gap starts at N and halves per iteration; it must
+    # reach 0 (lo == hi), which takes ceil(log2(N+1)) <= N.bit_length()
+    # steps. (N-1).bit_length() is one short exactly when N is a power
+    # of two — i.e. for every pow2-trimmed table — leaving a 1-wide gap
+    # and a false-negative for needles whose target lands at hi.
+    n_iters = max(1, N.bit_length())
 
     def body(_, lohi):
         lo, hi = lohi

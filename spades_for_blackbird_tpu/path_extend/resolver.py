@@ -635,8 +635,13 @@ def _remove_overlaps(paths: list[list[int]], conj, seq_len,
     return out
 
 
-def paths_to_contigs(g: Graph, ps: PathSet) -> list[tuple[str, float]]:
-    """Path sequences (k-overlap aware) with length-weighted coverage."""
+def paths_to_contigs(g: Graph, ps: PathSet,
+                     with_paths: bool = False) -> list:
+    """Path sequences (k-overlap aware) with length-weighted coverage.
+
+    ``with_paths`` appends the edge-id path to each row, keeping the
+    sort alignment — feeds contigs.paths / GFA P-line output
+    (bidirectional_path_output.hpp:25 ToPathString)."""
     from ..ops import dna
     flat = dna.pull_codes_packed(g.seq_flat)
     starts = np.asarray(g.seq_start)
@@ -653,6 +658,8 @@ def paths_to_contigs(g: Graph, ps: PathSet) -> list[tuple[str, float]]:
             seq = s if i == 0 else seq + s[k:]
             wsum += covs[e] * lens[e]
             wlen += int(lens[e])
-        out.append((seq, wsum / max(wlen, 1)))
+        out.append((seq, wsum / max(wlen, 1), list(path)))
     out.sort(key=lambda sc: (-len(sc[0]), sc[0]))
-    return out
+    if with_paths:
+        return out
+    return [(s, c) for s, c, _ in out]

@@ -227,9 +227,13 @@ def scaffold_paths(g: Graph, ps: PathSet, paired,
 
 
 def scaffolds_to_contigs(g: Graph, scaffolds,
-                         min_gap_run: int = 1) -> list[tuple[str, float]]:
+                         min_gap_run: int = 1,
+                         with_paths: bool = False) -> list:
     """Render scaffolds as sequences with N gaps (io_support.cpp's
-    scaffold writing; gaps clamp to at least min_gap_run Ns)."""
+    scaffold writing; gaps clamp to at least min_gap_run Ns).
+
+    ``with_paths`` appends the (edge, gap) chain to each row, keeping
+    the sort alignment — feeds scaffolds.paths / GFA P-line output."""
     from ..ops import dna
     flat = dna.pull_codes_packed(g.seq_flat)
     starts = np.asarray(g.seq_start)
@@ -253,6 +257,9 @@ def scaffolds_to_contigs(g: Graph, scaffolds,
                 seq += s[ov:] if ov else s
             wsum += covs[e] * lens[e]
             wlen += int(lens[e])
-        out.append((seq, wsum / max(wlen, 1)))
+        out.append((seq, wsum / max(wlen, 1),
+                    [(int(e), int(gap)) for e, gap in chain]))
     out.sort(key=lambda sc: (-len(sc[0]), sc[0]))
-    return out
+    if with_paths:
+        return out
+    return [(s, c) for s, c, _ in out]

@@ -371,7 +371,8 @@ def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
                             lib_data_out: list | None = None,
                             scaffold_graph_out: dict | None = None,
                             scaffolding_estimator: str | None = None,
-                            long_reads=None):
+                            long_reads=None,
+                            paths_out: dict | None = None):
     """Per-library repeat resolution (pair_info_count.cpp:186-230 +
     extenders_logic.cpp per-lib extender construction): each library
     gets its OWN insert-size estimate, paired-index shift and distance
@@ -506,7 +507,11 @@ def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
 
     if not specs:
         from ..io import fasta
-        contigs = fasta.graph_contigs(g, min_length=2 * k)
+        rows = fasta.graph_contigs(g, min_length=2 * k, with_edges=True)
+        contigs = [(s, c) for s, c, _ in rows]
+        if paths_out is not None:
+            paths_out["contigs"] = [[e] for _, _, e in rows]
+            paths_out["scaffolds"] = [[(e, 0)] for _, _, e in rows]
         return (contigs, contigs) if with_scaffolds else contigs
 
     with _scope("rr_resolve_paths"):
@@ -515,7 +520,10 @@ def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
     # TraverseLoops): joins surface as k+100 N gaps in scaffolds
     from ..path_extend import loop_traverser
     loop_joins = loop_traverser.traverse_loops(g, ps)
-    contigs = resolver.paths_to_contigs(g, ps)
+    crows = resolver.paths_to_contigs(g, ps, with_paths=True)
+    contigs = [(s, c) for s, c, _ in crows]
+    if paths_out is not None:
+        paths_out["contigs"] = [p for _, _, p in crows]
     if not with_scaffolds:
         return contigs
     from ..path_extend import polisher, scaffolder
@@ -531,7 +539,10 @@ def repeat_resolution_multi(g, libs, with_scaffolds: bool = False,
     # gap polishing: unique graph paths replace N runs
     # (scaffolder2015/path_polisher.cpp)
     chains, _ = polisher.polish_scaffolds(g, chains)
-    scaffolds = scaffolder.scaffolds_to_contigs(g, chains)
+    srows = scaffolder.scaffolds_to_contigs(g, chains, with_paths=True)
+    scaffolds = [(s, c) for s, c, _ in srows]
+    if paths_out is not None:
+        paths_out["scaffolds"] = [p for _, _, p in srows]
     return contigs, scaffolds
 
 

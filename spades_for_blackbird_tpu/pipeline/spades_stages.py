@@ -432,10 +432,19 @@ def make_repeat_resolution(log, output_dir=None):
         libs = _paired_lib_arrays(ctx)
         lib_data: list = []
         sg_out: dict = {}
+        paths_out: dict = {}
         final, scaffolds = assemble.repeat_resolution_multi(
             ctx.graph, libs, with_scaffolds=True, lib_data_out=lib_data,
             scaffold_graph_out=sg_out,
-            long_reads=ctx.params.get("long_read_batch"))
+            long_reads=ctx.params.get("long_read_batch"),
+            paths_out=paths_out)
+        # edge-id paths feed contigs.paths/scaffolds.paths + GFA P
+        # records at contig output (contig_output_stage.cpp:105-112)
+        ctx.params["contig_paths"] = [
+            [[int(e), 0] for e in p] for p in paths_out.get("contigs", [])]
+        ctx.params["scaffold_paths"] = [
+            [[int(e), int(gap)] for e, gap in p]
+            for p in paths_out.get("scaffolds", [])]
         if output_dir is not None and "graph" in sg_out:
             # PrintScaffoldGraph (launcher.cpp:85): .scg dump + dot
             sg = sg_out["graph"]
@@ -498,8 +507,30 @@ def make_contig_output(output_dir: str, log, cfg=None):
                     linears)
                 log(f"linear viral candidates: {len(linears)}")
         if ctx.graph is not None:
-            gfa.write_gfa(os.path.join(
-                output_dir, "assembly_graph_with_scaffolds.gfa"), ctx.graph)
+            def named(contig_list, raw_paths):
+                # names must match the fasta headers the same list got
+                return [(f"NODE_{i}_length_{len(s)}_cov_{c:.6f}",
+                         [(int(e), int(gap)) for e, gap in p])
+                        for i, ((s, c), p) in enumerate(
+                            zip(contig_list, raw_paths), start=1)]
+            cpaths = named(final, ctx.params.get("contig_paths", []))
+            spaths = named(ctx.scaffolds or final,
+                           ctx.params.get("scaffold_paths", []))
+            # scaffold paths ride the GFA as P records; the .paths files
+            # mirror the FastG edge numbering (contig_output_stage.cpp:
+            # 105-112 WritePaths on both writers)
+            gfa.write_gfa(
+                os.path.join(output_dir,
+                             "assembly_graph_with_scaffolds.gfa"),
+                ctx.graph, paths=spaths)
+            if cpaths:
+                gfa.write_paths_file(
+                    os.path.join(output_dir, "contigs.paths"),
+                    ctx.graph, cpaths)
+            if spaths:
+                gfa.write_paths_file(
+                    os.path.join(output_dir, "scaffolds.paths"),
+                    ctx.graph, spaths)
             from ..io import fastg
             fastg.write_fastg(os.path.join(
                 output_dir, "assembly_graph.fastg"), ctx.graph)

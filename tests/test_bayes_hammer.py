@@ -128,3 +128,55 @@ def test_expander_promotes_covered_kmers():
         jnp.asarray(codes), jnp.asarray(lengths), table,
         jnp.asarray(solid0), k))
     assert out[:n].all(), (before, out[:n].sum(), n)
+
+
+def test_chunked_stats_match_single_shot():
+    """Two-pass chunked quality counting (key-count pass + lookup/
+    scatter pass) must reproduce the single-shot count_kmers_stats
+    (kmer_data.cpp:119-155 Merge semantics) exactly up to float
+    association order."""
+    import jax.numpy as jnp
+    from spades_for_blackbird_tpu.hammer import bayes
+    from spades_for_blackbird_tpu.ops import dna
+
+    k = 21
+    rng = np.random.default_rng(11)
+    genome = "".join(rng.choice(list("ACGT"), size=400))
+    reads = []
+    for _ in range(64):
+        s = int(rng.integers(0, len(genome) - 60))
+        r = list(genome[s:s + 60])
+        if rng.random() < 0.5:  # sprinkle errors
+            p = int(rng.integers(0, 60))
+            r[p] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append("".join(r))
+    codes, lengths = dna.encode_reads(reads)
+    quals = rng.integers(33 + 2, 33 + 41, codes.shape).astype(np.uint8)
+
+    t1, s1 = bayes.count_kmers_stats(
+        jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(quals), k)
+    t1, s1 = bayes._trim_stats(t1, s1)
+    t2, s2 = bayes.count_kmers_stats_chunked(
+        codes, lengths, quals, k, chunk=16)
+    n = int(t1.num)
+    assert int(t2.num) == n
+    np.testing.assert_array_equal(np.asarray(t1.kmers[:n]),
+                                  np.asarray(t2.kmers[:n]))
+    np.testing.assert_array_equal(np.asarray(t1.counts[:n]),
+                                  np.asarray(t2.counts[:n]))
+    np.testing.assert_allclose(np.asarray(s1.total_lq[:n]),
+                               np.asarray(s2.total_lq[:n]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.qual_sum[:n]),
+                               np.asarray(s2.qual_sum[:n]),
+                               rtol=1e-5, atol=1e-3)
+
+    # spill fallback path (device_cap_rows too small for the table)
+    t3, s3 = bayes.count_kmers_stats_chunked(
+        codes, lengths, quals, k, chunk=16, device_cap_rows=32)
+    assert int(t3.num) == n
+    np.testing.assert_array_equal(np.asarray(t1.kmers[:n]),
+                                  np.asarray(t3.kmers[:n]))
+    np.testing.assert_allclose(np.asarray(s1.total_lq[:n]),
+                               np.asarray(s3.total_lq[:n]),
+                               rtol=1e-5, atol=1e-5)

@@ -117,3 +117,28 @@ def test_lookup():
     for i, s in enumerate(probe_seqs):
         want = min(s, rc_str(s)) in expect
         assert bool(np.asarray(found)[i]) == want
+
+
+def test_searchsorted_rows_pow2_haystack():
+    """Regression: with a power-of-two row count — every pow2-trimmed
+    table — the binary search ran (N-1).bit_length() halvings, one
+    short of convergence, and reported present needles absent whenever
+    their index landed at the unresolved hi bound."""
+    import jax.numpy as jnp
+    from spades_for_blackbird_tpu.ops import segments
+
+    rng = np.random.default_rng(5)
+    for N in (8, 64, 1024):
+        rows = np.unique(
+            rng.integers(0, 2**32, (N, 2), dtype=np.uint32), axis=0)
+        n = rows.shape[0]
+        pad = np.full((N - n, 2), 0xFFFFFFFF, np.uint32)
+        hay = jnp.asarray(np.concatenate([rows, pad]))
+        idx = np.asarray(segments.searchsorted_rows(hay, hay[:n]))
+        np.testing.assert_array_equal(idx, np.arange(n))
+        # absent needles report N
+        absent = jnp.asarray(
+            np.array([[1, 1]], np.uint32) ^ rows[:1])  # differs from row0
+        got = int(segments.searchsorted_rows(hay, absent)[0])
+        in_table = (rows == np.asarray(absent)[0]).all(axis=1).any()
+        assert in_table or got == N

@@ -30,7 +30,9 @@ def test_multi_k_closes_k55_gap():
 
 
 def test_cli_end_to_end(tmp_path):
+    import naive_debruijn as nd
     from spades_for_blackbird_tpu import cli
+    from spades_for_blackbird_tpu.io import gfa
     out = tmp_path / "out"
     rc_code = cli.main(["--test", "-o", str(out), "-k", "21,33"])
     assert rc_code == 0
@@ -40,6 +42,55 @@ def test_cli_end_to_end(tmp_path):
     assert gfa_text.startswith("H\tVN:Z:1.0")
     assert "\nS\t1\t" in gfa_text
     assert (out / "spades.log").exists()
+
+    # path records (contig_output_stage.cpp:105-112): P lines in the
+    # GFA, contigs.paths/scaffolds.paths next to the fasta files, and
+    # the paths must RECONSTRUCT the contig sequences
+    segments, _, plines = gfa.read_gfa(
+        str(out / "assembly_graph_with_scaffolds.gfa"), with_paths=True)
+    assert plines, "no P records in assembly_graph_with_scaffolds.gfa"
+    k = 33
+
+    def seg_seq(tok):
+        seq = segments[tok[:-1]][0]
+        return seq if tok[-1] == "+" else nd.rc(seq)
+
+    def reconstruct(toks):
+        seq = seg_seq(toks[0])
+        for tok in toks[1:]:
+            seq += seg_seq(tok)[k:]
+        return seq
+
+    # fasta headers by name
+    fa = {}
+    name = None
+    for line in contigs.splitlines():
+        if line.startswith(">"):
+            name = line[1:]
+            fa[name] = ""
+        else:
+            fa[name] += line
+
+    cpaths = (out / "contigs.paths").read_text().splitlines()
+    assert cpaths[0] in fa            # name line matches a fasta header
+    # parse: name, path-string (may span lines via ';' continuation)
+    entries = {}
+    i = 0
+    while i < len(cpaths):
+        nm = cpaths[i]
+        i += 1
+        toks_lines = []
+        while i < len(cpaths) and not (cpaths[i].startswith("NODE_")):
+            toks_lines.append(cpaths[i])
+            i += 1
+        entries[nm] = toks_lines
+    for nm, seq in fa.items():
+        assert nm in entries and nm + "'" in entries
+        toks_lines = entries[nm]
+        if len(toks_lines) == 1 and not toks_lines[0].endswith(";"):
+            toks = toks_lines[0].split(",")
+            assert reconstruct(toks) == seq, f"path of {nm} mismatch"
+    assert (out / "scaffolds.paths").exists()
 
 
 def test_cli_errors():

@@ -1,0 +1,103 @@
+"""Round-5 fresh 4.6 Mb end-to-end run (supervised).
+
+Full pipeline from reads on the round-4 4.6 Mb dataset (same simulated
+reads + truth as SCALE_r04_46m_status.json / REF_r04_46m.json so the
+same-host reference comparison holds: 762.8 s / NG50 498,889 on 2 CPU
+cores). Runs the supervised CLI (pipeline/supervisor.py) into a fresh
+output dir with the round-5 EC path (two-pass hammer counting) and
+writes SCALE_r05_46m.json on success.
+
+Run with PYTHONPATH pointing at a frozen code snapshot and
+JAX_COMPILATION_CACHE_DIR at the shared warm cache.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.environ.get("SFB_REPO", "/root/repo")
+sys.path.insert(0, REPO)
+
+DATA = "/tmp/scale46_r4"          # reads + truth from round 4
+OUT = "/tmp/scale46_r5"
+RUN_DIR = os.path.join(OUT, "asm")
+
+
+def read_fasta(path):
+    seqs, cur = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith(">"):
+                if cur:
+                    seqs.append("".join(cur))
+                cur = []
+            else:
+                cur.append(line.strip())
+    if cur:
+        seqs.append("".join(cur))
+    return seqs
+
+
+def main():
+    from spades_for_blackbird_tpu.pipeline.supervisor import supervise_cli
+    os.makedirs(OUT, exist_ok=True)
+    t0 = time.time()
+    argv = ["-1", os.path.join(DATA, "reads_1.fastq.gz"),
+            "-2", os.path.join(DATA, "reads_2.fastq.gz"),
+            "-o", RUN_DIR, "--trace-time"]
+    if os.path.isdir(os.path.join(RUN_DIR, "saves")):
+        argv.append("--continue")
+    rc = supervise_cli(argv, max_attempts=14, stall_s=480.0,
+                       cooldown_s=150.0)
+    t_asm = time.time() - t0
+    if rc != 0:
+        blob = json.dumps({"ok": False, "rc": rc,
+                           "assembly_s": round(t_asm, 1)})
+        print(blob)
+        with open("/root/repo/SCALE_r05_46m.json", "w") as f:
+            f.write(blob + "\n")
+        return rc
+
+    from spades_for_blackbird_tpu.utils import assess
+    genome = read_fasta(os.path.join(DATA, "truth.fasta"))[0]
+    contigs = read_fasta(os.path.join(RUN_DIR, "contigs.fasta"))
+    report = assess.assess(contigs, genome)
+    out = {
+        "ok": True,
+        "genome_size": 4_600_000,
+        "n_read_pairs": 920_000,
+        "coverage": 40.0,
+        "assembly_s": round(t_asm, 1),
+        "accounting": "fresh end-to-end run (supervised), incl. all "
+                      "remote compiles and any watchdog restarts",
+        "contigs": report.to_dict(),
+        "reference_same_host": {"assembly_s": 762.76, "ng50": 498889,
+                                "genome_fraction": 0.99769,
+                                "source": "REF_r04_46m.json"},
+    }
+    scaf_path = os.path.join(RUN_DIR, "scaffolds.fasta")
+    if os.path.exists(scaf_path):
+        scaffolds = [s.replace("N", "") for s in read_fasta(scaf_path)]
+        srep = assess.assess(scaffolds, genome)
+        out["scaffolds"] = {"n50": srep.n50, "ng50": srep.ng50,
+                            "misassemblies": srep.misassemblies}
+    trace_path = os.path.join(RUN_DIR, "spades_time_trace.json")
+    if os.path.exists(trace_path):
+        with open(trace_path) as f:
+            events = json.load(f)["traceEvents"]
+        phases = {}
+        for ev in events:
+            phases[ev["name"]] = round(
+                phases.get(ev["name"], 0.0) + ev["dur"] / 1e6, 1)
+        out["phases_s"] = dict(sorted(phases.items(),
+                                      key=lambda kv: -kv[1]))
+    blob = json.dumps(out)
+    print(blob)
+    with open("/root/repo/SCALE_r05_46m.json", "w") as f:
+        f.write(blob + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
