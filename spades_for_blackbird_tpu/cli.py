@@ -139,7 +139,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threads", "-t", type=int, default=None,
                    help="accepted for CLI compatibility (device-parallel)")
     p.add_argument("--memory", "-m", type=int, default=None,
-                   help="accepted for CLI compatibility")
+                   help="memory budget in GB (spades.py:239 -m): sizes "
+                        "counting/correction chunk shapes and the "
+                        "hammer spill threshold; stages exceeding it "
+                        "log a warning")
     p.add_argument("--log-properties", default=None, metavar="FILE",
                    help="per-component log levels (log.properties format; "
                         "SPADES_TPU_LOG env overlays)")
@@ -173,6 +176,9 @@ def main(argv=None) -> int:
                              stall_s=args.supervise_stall_s)
     from .utils.jaxcache import enable_compilation_cache
     enable_compilation_cache()
+    if args.memory is not None:
+        from .utils import membudget
+        membudget.set_budget_gb(args.memory)
     from .io import fastq
     from .pipeline import assemble, spades_stages
     from .pipeline.stages import PipelineContext, StageManager

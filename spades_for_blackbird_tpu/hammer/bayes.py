@@ -240,8 +240,8 @@ def _accum_stats(tkmers, tnum, codes, lengths, quals,
 
 
 def count_kmers_stats_chunked(codes, lengths, quals, k: int,
-                              chunk: int = 1 << 15,
-                              device_cap_rows: int = 1 << 24
+                              chunk: int | None = None,
+                              device_cap_rows: int | None = None
                               ) -> tuple[counter.KmerTable, KmerQualStats]:
     """`count_kmers_stats` for libraries too large for one device sort,
     as TWO passes (the reference streams disk buckets twice in spirit:
@@ -263,9 +263,15 @@ def count_kmers_stats_chunked(codes, lengths, quals, k: int,
     the (U, k) accumulator itself exceeds ``device_cap_rows`` rows —
     then the old merge/spill path runs instead."""
     from ..ops import chunking
+    from ..utils import membudget
     codes = jnp.asarray(codes)
     lengths = jnp.asarray(lengths)
     quals = jnp.asarray(quals)
+    if chunk is None:
+        chunk = membudget.stats_chunk_reads(
+            1 << 15, read_len=int(codes.shape[1]), k=k)
+    if device_cap_rows is None:
+        device_cap_rows = membudget.device_cap_rows(1 << 24, k=k)
     R = codes.shape[0]
     if R <= chunk:
         table, stats = count_kmers_stats(codes, lengths, quals, k)

@@ -176,6 +176,18 @@ def correct_reads(codes, lengths, k: int = 21, max_iterations: int = 2,
     Returns (corrected_codes np.ndarray, stats dict).
     """
     if quals is not None and bayes:
+        from ..parallel import mesh as mesh_mod
+        mesh = mesh_mod.auto_mesh()
+        if mesh is not None:
+            # multi-device: data-parallel hammer (the OpenMP analogue,
+            # projects/hammer/main.cpp:64) — equality with the single-
+            # device path is test-gated (tests/test_hammer_dist.py)
+            from ..parallel import hammer_dist
+            correct_fn = hammer_dist.make_sharded_hammer(
+                mesh, k, max_iterations=max_iterations)
+            R = codes.shape[0]
+            corrected, stats = correct_fn(codes, lengths, quals)
+            return corrected[:R], stats
         return _correct_reads_bayes(codes, lengths, quals, k,
                                     max_iterations)
     import jax as _jax

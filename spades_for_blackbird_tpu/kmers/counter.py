@@ -172,8 +172,11 @@ def count_kmers_chunked(codes, lengths, k: int,
         # service occasionally eats a request and the client blocks
         # forever; a different shape is a fresh request)
         import os
-        chunk_reads = 1 << int(os.environ.get("SFB_COUNT_CHUNK_LOG2",
-                                              "20"))
+        from ..utils import membudget
+        chunk_reads = membudget.count_chunk_reads(
+            1 << int(os.environ.get("SFB_COUNT_CHUNK_LOG2", "20")),
+            read_len=int(codes.shape[1]) if hasattr(codes, "shape")
+            else 100)
     codes = jnp.asarray(codes)
     lengths = jnp.asarray(lengths)
     R = codes.shape[0]

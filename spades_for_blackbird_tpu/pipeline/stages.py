@@ -201,9 +201,20 @@ class StageManager:
                     resource.RUSAGE_SELF).ru_maxrss / (1 << 20)
                 mem = f", peak RSS {peak_gb:.2f} GB"
             except Exception:
+                peak_gb = None
                 mem = ""
             self.log(f"== STAGE {stage.name} done in "
                      f"{time.time()-t0:.1f}s{mem}")
+            from ..utils import membudget
+            budget = membudget.get_budget_gb()
+            if budget and peak_gb and peak_gb > budget:
+                # the reference hard-kills on exceeding -m via
+                # RLIMIT_AS (utils/memory_limit.hpp:14); here the
+                # budget sizes the chunk knobs, so an overrun means
+                # the estimate was off — surface it
+                self.log(f"== WARNING: stage {stage.name} peak RSS "
+                         f"{peak_gb:.2f} GB exceeds --memory "
+                         f"{budget:.0f} GB")
             if timetrace.enabled():
                 # dump incrementally so a crash mid-pipeline still
                 # leaves the phase breakdown on disk

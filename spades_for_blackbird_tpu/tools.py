@@ -155,34 +155,190 @@ def cmd_gsimplifier(argv):
     return 0
 
 
+def _cigar_dp(a: str, b: str) -> str:
+    """CIGAR of aligning b onto a: global edit DP + run-length traceback
+    (spaligner computes this with edlib, mapping_printer.cpp:99-121
+    FormCigar; M covers match and mismatch as in edlib path output)."""
+    import numpy as np
+    n, m = len(a), len(b)
+    if n == 0:
+        return f"{m}I" if m else ""
+    if m == 0:
+        return f"{n}D"
+    D = np.zeros((n + 1, m + 1), np.int32)
+    D[:, 0] = np.arange(n + 1)
+    D[0, :] = np.arange(m + 1)
+    bb = np.frombuffer(b.encode(), np.uint8)
+    for i in range(1, n + 1):
+        sub = D[i - 1, :m] + (bb != ord(a[i - 1]))
+        ins = D[i, :m] + 1
+        dele = D[i - 1, 1:] + 1
+        # vectorized row fill needs the running min; do a scan
+        row = D[i]
+        prev = row[0]
+        for j in range(1, m + 1):
+            prev = min(sub[j - 1], dele[j - 1], prev + 1)
+            row[j] = prev
+    # traceback
+    ops = []
+    i, j = n, m
+    while i > 0 or j > 0:
+        if i > 0 and j > 0 and D[i, j] == D[i - 1, j - 1] + (
+                a[i - 1] != b[j - 1]):
+            ops.append("M")
+            i, j = i - 1, j - 1
+        elif i > 0 and D[i, j] == D[i - 1, j] + 1:
+            ops.append("D")
+            i -= 1
+        else:
+            ops.append("I")
+            j -= 1
+    ops.reverse()
+    out = []
+    run, ch = 0, ""
+    for o in ops:
+        if o == ch:
+            run += 1
+        else:
+            if run:
+                out.append(f"{run}{ch}")
+            run, ch = 1, o
+    if run:
+        out.append(f"{run}{ch}")
+    return "".join(out)
+
+
 def cmd_gmapper(argv):
     """Long-read-to-graph aligner (projects/gmapper + spaligner's batch
-    alignment, align_longreads.cpp): reads + GFA -> edge-path TSV."""
+    alignment, align_longreads.cpp): reads + GFA -> edge-path output in
+    spaligner's formats (tsv/gpa/fasta, MappingPrinterHub,
+    mapping_printer.hpp:115-130)."""
     p = argparse.ArgumentParser(prog="gmapper")
     p.add_argument("graph_gfa")
     p.add_argument("reads", nargs="+")
-    p.add_argument("-o", "--output", default="-")
+    p.add_argument("-o", "--output", default="-",
+                   help="TSV output path ('-' = stdout)")
+    p.add_argument("--output-dir", default=None,
+                   help="spaligner-style output dir: writes "
+                        "alignment.<fmt> for each --output-format")
+    p.add_argument("--output-format", default="tsv",
+                   help="comma list of tsv,gpa,fasta "
+                        "(align_longreads.cpp output_format)")
     p.add_argument("--seed-k", type=int, default=13)
     a = p.parse_args(argv)
     from .graph.from_gfa import graph_from_gfa
     from .mapping import long_read
+    from .ops import dna as dna_ops
+    import numpy as np
     g = graph_from_gfa(a.graph_gfa)
     b = _load(a.reads)
     als = long_read.align_long_reads(g, b.codes, b.lengths,
                                      seed_k=a.seed_k)
-    out = sys.stdout if a.output == "-" else open(a.output, "w")
-    out.write("#read\tedge_path\tread_ranges\tedge_ranges\tvotes\n")
-    for al in als:
-        if not al.chain:
-            continue
-        out.write("{}\t{}\t{}\t{}\t{}\n".format(
-            al.read_id,
-            ",".join(str(h.edge) for h in al.chain),
-            ",".join(f"{h.read_lo}-{h.read_hi}" for h in al.chain),
-            ",".join(f"{h.edge_lo}-{h.edge_hi}" for h in al.chain),
-            ",".join(str(h.votes) for h in al.chain)))
-    if out is not sys.stdout:
-        out.close()
+    formats = {f.strip() for f in a.output_format.split(",") if f.strip()}
+
+    flat = dna_ops.pull_codes_packed(g.seq_flat)
+    starts = np.asarray(g.seq_start)
+    elens = np.asarray(g.seq_len)
+    codes_np = np.asarray(b.codes)
+    lens_np = np.asarray(b.lengths)
+
+    def edge_seq(e, lo=None, hi=None):
+        lo = 0 if lo is None else lo
+        hi = int(elens[e]) if hi is None else hi
+        return dna_ops.decode_codes(
+            flat[starts[e] + lo:starts[e] + hi])
+
+    def read_seq(r, lo=None, hi=None):
+        lo = 0 if lo is None else lo
+        hi = int(lens_np[r]) if hi is None else hi
+        return dna_ops.decode_codes(codes_np[r, lo:hi])
+
+    def tsv_lines(out):
+        # MappingPrinterTSV::SaveMapping (mapping_printer.cpp:22-61)
+        out.write("#read\tseq_starts\tseq_ends\tedge_starts\tedge_ends"
+                  "\tread_len\tedge_path\tpath_lens\tpath_seq\n")
+        for r, al in enumerate(als):
+            if not al.chain:
+                continue
+            blocks = [edge_seq(h.edge, h.edge_lo, h.edge_hi)
+                      for h in al.chain]
+            out.write("{}\t{}\t{}\t{}\t{}\t{}\t{}\t{}\t{}\n".format(
+                al.read_id,
+                al.chain[0].read_lo, al.chain[-1].read_hi,
+                al.chain[0].edge_lo, al.chain[-1].edge_hi,
+                int(lens_np[r]),
+                ",".join(str(h.edge) for h in al.chain),
+                ",".join(str(len(s)) for s in blocks),
+                ",".join(blocks)))
+
+    def fasta_lines(out):
+        # MappingPrinterFasta::SaveMapping (mapping_printer.cpp:63-87)
+        for al in als:
+            if not al.chain:
+                continue
+            seq = "".join(edge_seq(h.edge, h.edge_lo, h.edge_hi)
+                          for h in al.chain)
+            out.write(">{}|Edges={}|start_g={}|end_g={}|start_s={}"
+                      "|end_s={}\n{}\n".format(
+                          al.read_id,
+                          "_".join(str(h.edge) for h in al.chain),
+                          al.chain[0].edge_lo, al.chain[-1].edge_hi,
+                          al.chain[0].read_lo, al.chain[-1].read_hi,
+                          seq))
+
+    def gpa_lines(out):
+        # MappingPrinterGPA: 'H' header + one 13-field 'A' record per
+        # traversed edge, linked prev/next (mapping_printer.cpp:195-229)
+        out.write("H\n")
+        cols = ["Ind", "Name", "ReadName", "StartR", "LenR", "DirR",
+                "EdgeId", "StartE", "LenE", "DirE", "CIGAR", "Prev",
+                "Next"]
+        for r, al in enumerate(als):
+            if not al.chain:
+                continue
+            idx = 0
+            prev = "-"
+            for i, h in enumerate(al.chain):
+                nxt = ("-" if i + 1 == len(al.chain)
+                       else f"{al.read_id}_{idx + 1}")
+                sub = read_seq(r, h.read_lo, h.read_hi)
+                eseq = edge_seq(h.edge, h.edge_lo, h.edge_hi)
+                line = {
+                    "Ind": "A",
+                    "Name": f"{al.read_id}_{idx}",
+                    "ReadName": str(al.read_id),
+                    "StartR": str(h.read_lo),
+                    "LenR": str(h.read_hi - h.read_lo),
+                    "DirR": "+",
+                    "EdgeId": str(h.edge),
+                    "StartE": str(h.edge_lo),
+                    "LenE": str(h.edge_hi - h.edge_lo),
+                    "DirE": "+",
+                    "CIGAR": _cigar_dp(sub, eseq),
+                    "Prev": prev,
+                    "Next": nxt,
+                }
+                prev = f"{al.read_id}_{idx}"
+                idx += 1
+                out.write("\t".join(line[c] for c in cols) + "\t\n")
+
+    writers = {"tsv": tsv_lines, "gpa": gpa_lines, "fasta": fasta_lines}
+    unknown = formats - set(writers)
+    if unknown:
+        print(f"unknown output format(s): {sorted(unknown)}",
+              file=sys.stderr)
+        return 2
+    if a.output_dir:
+        os.makedirs(a.output_dir, exist_ok=True)
+        for fmt in sorted(formats):
+            with open(os.path.join(a.output_dir,
+                                   f"alignment.{fmt}"), "w") as f:
+                writers[fmt](f)
+    else:
+        out = sys.stdout if a.output == "-" else open(a.output, "w")
+        tsv_lines(out)
+        if out is not sys.stdout:
+            out.close()
     print(f"aligned {sum(1 for al in als if al.chain)}/{len(als)} reads",
           file=sys.stderr)
     return 0

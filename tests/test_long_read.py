@@ -167,3 +167,53 @@ def test_graph_path_fill_prefers_graph_bases():
     fill = _graph_path_fill(g, eA, eB, noisy)
     assert fill is not None
     np.testing.assert_array_equal(fill, truth)
+
+
+def test_gmapper_spaligner_formats(tmp_path):
+    """spaligner output-format parity (MappingPrinterHub,
+    mapping_printer.hpp:115-130): --output-dir writes alignment.tsv /
+    alignment.gpa / alignment.fasta; GPA 'A' records carry a CIGAR
+    whose D+M ops span the read block and I+M ops span the edge
+    block (mapping_printer.cpp:195-229)."""
+    import re
+    from spades_for_blackbird_tpu import tools
+    from spades_for_blackbird_tpu.graph import construct as gconstruct
+    from spades_for_blackbird_tpu.io import gfa as gfa_io
+
+    genome = random_dna(400, 5)
+    codes, lengths = dna.encode_reads(tile(genome))
+    g = gconstruct.graph_from_reads(codes, lengths, K)
+    gfa_path = str(tmp_path / "g.gfa")
+    gfa_io.write_gfa(gfa_path, g)
+    lr_path = tmp_path / "lr.fa"
+    lr_path.write_text(f">lr0\n{noisy(genome[40:360], 0.08, 6)}\n")
+    outdir = tmp_path / "sp"
+    rc = tools.main(["gmapper", gfa_path, str(lr_path),
+                     "--output-dir", str(outdir),
+                     "--output-format", "tsv,gpa,fasta"])
+    assert rc == 0
+    tsv = [l for l in (outdir / "alignment.tsv").read_text().splitlines()
+           if not l.startswith("#")]
+    assert len(tsv) == 1 and len(tsv[0].split("\t")) == 9
+    fa = (outdir / "alignment.fasta").read_text()
+    assert fa.startswith(">0|Edges=")
+    gpa = (outdir / "alignment.gpa").read_text().splitlines()
+    assert gpa[0] == "H"
+    recs = [l.split("\t") for l in gpa[1:] if l]
+    assert recs and all(r[0] == "A" for r in recs)
+    for r in recs:
+        start_r, len_r = int(r[3]), int(r[4])
+        len_e = int(r[8])
+        cig = r[10]
+        ops = re.findall(r"(\d+)([MID])", cig)
+        span_read = sum(int(n) for n, o in ops if o in "MD")
+        span_edge = sum(int(n) for n, o in ops if o in "MI")
+        assert span_read == len_r
+        assert span_edge == len_e
+    # prev/next linkage forms a chain
+    names = [r[1] for r in recs]
+    prevs = [r[11] for r in recs]
+    nexts = [r[12] for r in recs]
+    assert prevs[0] == "-" and nexts[-1] == "-"
+    for i in range(1, len(recs)):
+        assert prevs[i] == names[i - 1]
