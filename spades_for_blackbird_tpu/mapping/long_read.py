@@ -88,19 +88,31 @@ def align_long_reads(g: Graph, codes, lengths, seed_k: int = 13,
         cands = []
         for e, hlist in hits.items():
             hlist.sort()
-            # cluster by diagonal (modal band)
-            diags = np.array([d for _, _, d in hlist])
-            med = int(np.median(diags))
-            sel = [h for h in hlist if abs(h[2] - med) <= diag_slop]
-            if len(sel) < min_votes:
-                continue
-            cands.append(ChainedHit(
-                edge=e,
-                read_lo=sel[0][0],
-                read_hi=sel[-1][0] + seed_k,
-                edge_lo=sel[0][1],
-                edge_hi=sel[-1][1] + seed_k,
-                votes=len(sel)))
+            # cluster by diagonal into BANDS: a read revisiting the
+            # same edge on a different diagonal (tandem copy, or a
+            # structural variant between read and graph — the
+            # truseq_analysis use case) yields one candidate per band,
+            # not just the modal one
+            diags = sorted(d for _, _, d in hlist)
+            bands = [[diags[0]]]
+            for d in diags[1:]:
+                if d - bands[-1][-1] > diag_slop:
+                    bands.append([d])
+                else:
+                    bands[-1].append(d)
+            for band in bands:
+                med = int(np.median(band))
+                sel = [h for h in hlist if abs(h[2] - med) <= diag_slop
+                       and band[0] <= h[2] <= band[-1]]
+                if len(sel) < min_votes:
+                    continue
+                cands.append(ChainedHit(
+                    edge=e,
+                    read_lo=sel[0][0],
+                    read_hi=sel[-1][0] + seed_k,
+                    edge_lo=sel[0][1],
+                    edge_hi=sel[-1][1] + seed_k,
+                    votes=len(sel)))
         # greedy chain by read coordinate, dropping contained/conflicting
         cands.sort(key=lambda h: (h.read_lo, -h.votes))
         chain: list[ChainedHit] = []

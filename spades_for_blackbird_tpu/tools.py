@@ -656,6 +656,132 @@ def cmd_corrector(argv):
     return 0
 
 
+def cmd_truseq_analysis(argv):
+    """Variation detection against an assembly graph
+    (projects/truseq_analysis: VariationDetectionStage,
+    analysis_pipeline.cpp:35-86 + AlignmentAnalyserNew.cpp:29-100):
+    build the graph from the dataset reads, map each genome part onto
+    it, merge connectable mapping runs, and report variations
+    (Insertion/Deletion/Substitution, consistent_mapping.cpp:195-217)
+    and breakpoints not explained by coverage dead-ends
+    (analysis_pipeline.cpp CheckEndVertex)."""
+    import numpy as np
+    p = argparse.ArgumentParser(prog="truseq-analysis")
+    p.add_argument("--dataset", nargs="+", required=True,
+                   help="read files the graph is built from")
+    p.add_argument("--genome", required=True,
+                   help="fasta of parts to analyse")
+    p.add_argument("-k", type=int, default=55)
+    p.add_argument("-o", "--output", default="-",
+                   help="analysis_report path")
+    a = p.parse_args(argv)
+    from .graph import construct
+    from .mapping import long_read
+    from .ops import dna as dna_ops
+    b = _load(a.dataset)
+    g = construct.graph_from_reads(b.codes, b.lengths, a.k)
+    names, parts = _read_fasta(a.genome)
+    pc, pl = dna_ops.encode_reads(parts)
+    als = long_read.align_long_reads(g, pc, pl)
+
+    start_v = np.asarray(g.start_v)
+    end_v = np.asarray(g.end_v)
+    elens = np.asarray(g.seq_len)
+    covs = np.asarray(g.cov)
+    conj = np.asarray(g.conj)
+    from .graph.graph import edge_mask
+    alive = np.asarray(edge_mask(g))
+    out_edges = {}
+    for e in np.nonzero(alive)[0]:
+        out_edges.setdefault(int(start_v[e]), []).append(int(e))
+    flat = dna_ops.pull_codes_packed(g.seq_flat)
+    starts_f = np.asarray(g.seq_start)
+
+    def edge_seq(e, lo, hi):
+        return dna_ops.decode_codes(flat[starts_f[e] + lo:
+                                         starts_f[e] + hi])
+
+    def check_end_vertex(e, dist, depth=0):
+        # CheckEndVertex (analysis_pipeline.cpp:114-129): the walk from
+        # e dies out within dist -> the gap is a coverage break
+        if covs[e] == 0:
+            return True
+        if elens[e] > dist or depth > 30:
+            return False
+        outs = out_edges.get(int(end_v[e]), [])
+        return all(check_end_vertex(o, dist - int(elens[e]), depth + 1)
+                   for o in outs)
+
+    def classify(run, part_seq):
+        # CompareToReference (consistent_mapping.cpp:195-217)
+        ref_part = part_seq[run[0].read_lo:run[-1].read_hi]
+        mapped = "".join(edge_seq(h.edge, h.edge_lo, h.edge_hi)
+                         for h in run)
+        if mapped == ref_part:
+            return "Match"
+        l = 0
+        while (l < min(len(ref_part), len(mapped))
+               and ref_part[l] == mapped[l]):
+            l += 1
+        r = 0
+        while (l + r < min(len(ref_part), len(mapped))
+               and ref_part[-1 - r] == mapped[-1 - r]):
+            r += 1
+        base = run[0].read_lo
+        if l + r >= len(ref_part):
+            return (f"Insertion ({base + l}): Length: "
+                    f"{len(mapped) - l - r}")
+        if l + r >= len(mapped):
+            return (f"Deletion ({base + l + 1}, "
+                    f"{run[-1].read_hi - r}): Length: "
+                    f"{len(ref_part) - l - r}")
+        return (f"Substitution ({base + l + 1}, "
+                f"{run[-1].read_hi - r}): Lengths: "
+                f"{len(ref_part) - l - r} -> {len(mapped) - l - r}")
+
+    out = sys.stdout if a.output == "-" else open(a.output, "w")
+    slack = a.k
+    for i, al in enumerate(als):
+        out.write(f"Analysis of part {names[i]}\n")
+        if not al.chain:
+            continue
+        # merge connectable hits into consistent mappings
+        # (AlignmentAnalyserNew::Analyse + ExtractConsistentMappings)
+        runs = [[al.chain[0]]]
+        for h in al.chain[1:]:
+            prev = runs[-1][-1]
+            connected = (end_v[prev.edge] == start_v[h.edge]
+                         and 0 <= h.read_lo - prev.read_hi <= slack)
+            same_edge = (h.edge == prev.edge
+                         and prev.edge_hi <= h.edge_lo + slack)
+            if connected or same_edge:
+                runs[-1].append(h)
+            else:
+                runs.append([h])
+        for run in runs:
+            initial = run[-1].read_hi - run[0].read_lo
+            mapped = sum(h.edge_hi - h.edge_lo for h in run)
+            if abs(initial - mapped) > 500:
+                out.write(classify(run, parts[i]) + "\n")
+        for cm, nxt in zip(runs, runs[1:]):
+            e_end = cm[-1].edge
+            e_next = int(conj[nxt[0].edge])
+            tail = int(elens[e_end]) - cm[-1].edge_hi
+            head = nxt[0].edge_lo
+            if (check_end_vertex(e_end, 150 + tail)
+                    and check_end_vertex(e_next, 150 + head)):
+                continue  # coverage break: reference logs nothing
+            len_a = cm[-1].read_hi - cm[0].read_lo
+            len_b = nxt[-1].read_hi - nxt[0].read_lo
+            if len_a < 100 or len_b < 100:
+                continue  # unreliable alignment event
+            out.write(f"Breakpoint: [{cm[-1].read_hi}, "
+                      f"{nxt[0].read_lo}]\n")
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
 def cmd_truspades(argv):
     """truSPAdes: per-barcode assembly of TruSeq synthetic long reads
     (assembler/truspades.py + spades_pipeline/truspades/: extract
@@ -741,6 +867,7 @@ TOOLS = {
     "bin-converter": cmd_bin_converter,
     "corrector": cmd_corrector,
     "truspades": cmd_truspades,
+    "truseq-analysis": cmd_truseq_analysis,
     "edge-positions": cmd_edge_positions,
 }
 

@@ -118,3 +118,45 @@ def test_edge_positions_tool(tmp_path):
     spans = [(r.seq_start, r.seq_end) for rs in pos.values() for r in rs]
     best = max(spans, key=lambda se: se[1] - se[0])
     assert best[0] == 0 and best[1] >= len(genome) - 2
+
+
+def test_truseq_analysis_tool(tmp_path):
+    """truseq-analysis (projects/truseq_analysis VariationDetection):
+    a genome part identical to the read set maps as one consistent run
+    (no events); a part with 600 bp the assembly doesn't contain
+    reports a 'Deletion' variation at the junction — the reference's
+    CompareToReference convention (consistent_mapping.cpp:210-211:
+    l+r == |assembled| -> Deletion, i.e. the assembly is missing
+    sequence the part carries)."""
+    import numpy as np
+    from spades_for_blackbird_tpu import tools
+
+    rng = np.random.default_rng(17)
+    genome = "".join(rng.choice(list("ACGT"), size=3000))
+    reads = [genome[i:i + 120] for i in range(0, 3000 - 120, 7)]
+    reads_fa = tmp_path / "reads.fa"
+    reads_fa.write_text("".join(f">r{i}\n{s}\n"
+                                for i, s in enumerate(reads)))
+    insertion = "".join(rng.choice(list("ACGT"), size=600))
+    variant = genome[:1500] + insertion + genome[1500:]
+    parts_fa = tmp_path / "parts.fa"
+    parts_fa.write_text(f">clean\n{genome}\n>variant\n{variant}\n")
+
+    report = tmp_path / "analysis_report"
+    rc = tools.main(["truseq-analysis", "--dataset", str(reads_fa),
+                     "--genome", str(parts_fa), "-k", "55",
+                     "-o", str(report)])
+    assert rc == 0
+    text = report.read_text()
+    assert "Analysis of part clean" in text
+    assert "Analysis of part variant" in text
+    clean_sec, variant_sec = text.split("Analysis of part variant")
+    assert "Breakpoint" not in clean_sec
+    assert "Deletion" not in clean_sec
+    import re
+    m = re.search(r"Deletion \((\d+), (\d+)\): Length: (\d+)",
+                  variant_sec)
+    assert m, f"no Deletion event reported: {variant_sec!r}"
+    a, bpos, ln = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    assert 1400 <= a <= 1600          # event starts at the junction
+    assert 500 <= ln <= 700           # ~600 bp missing from assembly
