@@ -27,12 +27,20 @@ import sys
 import time
 
 
+# The XLA sort is the counting engine. A hand-written hierarchical
+# bitonic Pallas sorter was built and lowering-verified in rounds 3-4,
+# but the tunneled remote compile service never completed a Mosaic
+# compile of it — four attempts across rounds, including a minimal
+# single-tile (2^LOG_TILE) kernel probed in round 5, all blocked
+# >600 s at zero CPU while other Pallas kernels (the canonical-window
+# extractor this bench exercises) compile in seconds. With no path to
+# an on-TPU measurement the sorter was removed (round-5 commit; see
+# git history for the kernel). The XLA sort engine measures
+# 240.3 M k-mers/s/chip — 12.6x the reference counting-rate estimate.
 PATHS = [
     # (engine, input, timeout_s)
     ("xla", "uniform", 900),
     ("xla", "coverage40x", 600),
-    ("bitonic", "uniform", 600),
-    ("bitonic", "coverage40x", 420),
 ]
 
 
@@ -61,8 +69,8 @@ def worker(engine: str, iname: str) -> None:
         codes_np = np.stack([genome[s:s + L] for s in starts])
     lengths_np = np.full((R,), L, dtype=np.int32)
 
-    fn = counter.count_kmers if engine == "xla" else \
-        counter.count_kmers_bitonic
+    assert engine == "xla", engine
+    fn = counter.count_kmers
 
     codes = jax.device_put(codes_np)
     lengths = jax.device_put(lengths_np)

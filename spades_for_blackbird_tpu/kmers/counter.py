@@ -106,43 +106,6 @@ def count_kmers_quality(codes: jax.Array, lengths: jax.Array,
     return KmerTable(uniq, counts.astype(jnp.int32), num), qweight
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def count_kmers_bitonic(codes: jax.Array, lengths: jax.Array, k: int,
-                        interpret: bool = False) -> KmerTable:
-    """count_kmers with the hierarchical bitonic sorter
-    (ops/sort_pallas.py) in place of the XLA sort — the VMEM-resident
-    tile phase removes most of the per-stage HBM round trips that make
-    the XLA sort memory-bound.  Two-word canonical k-mers only
-    (15 < k <= 31); the sentinel-safety argument matches count_kmers."""
-    from ..ops import kmer_pallas, sort_pallas
-    W = dna.words_per_kmer(k)
-    if W != 2 or (k % dna.BASES_PER_WORD) == 0:
-        return count_kmers(codes, lengths, k)
-    if jax.default_backend() == "tpu" or interpret:
-        cols, valid = kmer_pallas.extract_canonical_cols(
-            codes, lengths, k, interpret=interpret)
-    else:
-        canon, valid, _ = kmer.extract_canonical_kmers(codes, lengths, k)
-        cols = [canon[..., 0], canon[..., 1]]
-    fv = valid.reshape(-1)
-    hi = jnp.where(fv, cols[0].reshape(-1), jnp.uint32(0xFFFFFFFF))
-    lo = jnp.where(fv, cols[1].reshape(-1), jnp.uint32(0xFFFFFFFF))
-    N = hi.shape[0]
-    tile = 1 << sort_pallas.LOG_TILE
-    cap = max(tile, 1 << (N - 1).bit_length())
-    if cap != N:
-        pad = cap - N
-        hi = jnp.concatenate([hi, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)])
-        lo = jnp.concatenate([lo, jnp.full(pad, 0xFFFFFFFF, jnp.uint32)])
-    log_tile = min(sort_pallas.LOG_TILE, cap.bit_length() - 1)
-    hi, lo = sort_pallas.bitonic_sort_pairs(hi, lo, log_tile=log_tile,
-                                            interpret=interpret)
-    skeys = jnp.stack([hi, lo], axis=1)
-    svalid = ~jnp.all(skeys == jnp.uint32(0xFFFFFFFF), axis=1)
-    uniq, counts, _, num = segments.unique_counts(skeys, svalid)
-    return KmerTable(uniq, counts.astype(jnp.int32), num)
-
-
 def trim_table(t: KmerTable) -> KmerTable:
     """Round capacity to the next power of two so merge shapes (and
     their jit compilations) stay bucketed instead of unique per call."""
