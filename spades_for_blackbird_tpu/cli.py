@@ -153,6 +153,16 @@ TEST_DATASET = "/root/reference/assembler/test_dataset"
 
 
 def main(argv=None) -> int:
+    try:
+        # SIGUSR1 -> all-thread stack dump on stderr: lets the
+        # supervisor (or a human) see WHERE a zero-CPU stall sits —
+        # which dispatch blocked in the remote compile service —
+        # before the process group is killed
+        import faulthandler
+        import signal as _signal
+        faulthandler.register(_signal.SIGUSR1, all_threads=True)
+    except Exception:
+        pass
     args = build_parser().parse_args(argv)
     if args.supervise is not None:
         # re-run self under the watchdog with the flag stripped

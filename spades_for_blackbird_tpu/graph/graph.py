@@ -131,7 +131,16 @@ def compact_graph(g: Graph) -> tuple["Graph", int]:
     alive = np.asarray(edge_mask(g))
     ids = np.nonzero(alive)[0]
     n = len(ids)
-    E2 = 1 << max(3, int(n - 1).bit_length() if n else 3)
+    # SFB_CAP_BUMP inflates the capacity bucket by 2^b: every
+    # downstream pass shape changes, so a supervised resume whose
+    # simplify-pass compile request was dropped by the remote compile
+    # service (the service occasionally eats a request and the client
+    # blocks forever; resubmitting the SAME shape can hit the same
+    # fate) re-requests under a fresh shape. Semantics are unchanged —
+    # capacity is padding.
+    import os
+    bump = int(os.environ.get("SFB_CAP_BUMP", "0"))
+    E2 = 1 << (max(3, int(n - 1).bit_length() if n else 3) + bump)
     new_of = np.full(g.capacity, E2, np.int64)
     new_of[ids] = np.arange(n)
 

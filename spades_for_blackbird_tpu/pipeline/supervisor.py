@@ -106,6 +106,14 @@ def run_supervised(build_cmd: Callable[[int], Sequence[str]],
                     f"for {stall_s:.0f}s — killing process group "
                     f"{proc.pid}")
                 try:
+                    # ask for a faulthandler stack dump first (cli.py
+                    # registers SIGUSR1): the stall site lands in the
+                    # child's stderr before the group dies
+                    os.kill(proc.pid, signal.SIGUSR1)
+                    time.sleep(5)
+                except OSError:
+                    pass
+                try:
                     os.killpg(proc.pid, signal.SIGKILL)
                 except OSError:
                     proc.kill()
@@ -151,11 +159,16 @@ def supervise_cli(argv: list[str], *, max_attempts: int = 8,
                 *args]
 
     def env_for_attempt(attempt: int) -> dict:
+        env: dict = {}
         if attempt >= 3 and "SFB_COUNT_CHUNK_LOG2" not in os.environ:
             # rotate 19, 18, 20, 19, 18, ...
-            return {"SFB_COUNT_CHUNK_LOG2":
-                    [19, 18, 20][(attempt - 3) % 3]}
-        return {}
+            env["SFB_COUNT_CHUNK_LOG2"] = [19, 18, 20][(attempt - 3) % 3]
+        if attempt >= 4 and "SFB_CAP_BUMP" not in os.environ:
+            # graph-capacity bucket bump: a stage-graph (simplify /
+            # condense) compile whose request the service dropped gets
+            # re-requested under a different shape
+            env["SFB_CAP_BUMP"] = [1, 0, 2][(attempt - 4) % 3]
+        return env
 
     return run_supervised(build_cmd, max_attempts=max_attempts,
                           stall_s=stall_s, poll_s=poll_s,
