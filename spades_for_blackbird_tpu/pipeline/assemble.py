@@ -20,6 +20,9 @@ from ..simplify import runner
 from ..ops import kmer as kmer_ops
 from ..ops import dna
 from ..utils.timetrace import scope as _scope
+from ..utils.logger import get_logger
+
+_log = get_logger("Assembler")
 
 
 @dataclass
@@ -196,6 +199,76 @@ def _construct_distributed(mesh, codes, lengths, k: int,
     return g, read_spectrum
 
 
+def _phase_path(phase_dir: str, k: int) -> str:
+    import os
+    return os.path.join(phase_dir, f"pre_simplify_k{k}.npz")
+
+
+def _save_phase_presimplify(phase_dir: str, k: int, g, v_space: int,
+                            ginfo) -> None:
+    """Intra-K-stage checkpoint just before simplification.
+
+    The simplify programs at multi-Mb capacity buckets are where the
+    tunneled compile service drops requests (NOTES_ROUND5.md); a
+    supervised resume that replays counting + construction pays ~8 min
+    per retry. This checkpoint lets the retry jump straight back to
+    the blocked compile. Removed when the K stage completes.
+    """
+    import json
+    import os
+    os.makedirs(phase_dir, exist_ok=True)
+    arrays = {name: np.asarray(getattr(g, name))
+              for name in ("seq_flat", "seq_start", "seq_len", "cov",
+                           "start_v", "end_v", "conj", "alive",
+                           "num_edges")}
+    if g.flank is not None:
+        arrays["flank"] = np.asarray(g.flank)
+    arrays["v_space"] = np.int64(v_space)
+    arrays["ginfo_json"] = np.frombuffer(
+        json.dumps(vars(ginfo)).encode(), np.uint8)
+    # np.savez appends .npz when missing — keep the tmp name suffixed
+    tmp = _phase_path(phase_dir, k) + ".tmp.npz"
+    np.savez_compressed(tmp, **arrays)
+    os.replace(tmp, _phase_path(phase_dir, k))
+
+
+def _load_phase_presimplify(phase_dir: str, k: int):
+    """Load the pre-simplify checkpoint if present; re-buckets through
+    compact_graph so SFB_CAP_BUMP rotation still varies the shapes."""
+    import json
+    import os
+    path = _phase_path(phase_dir, k)
+    if not os.path.exists(path):
+        return None
+    import jax.numpy as jnp
+    from ..graph.graph import Graph, compact_graph
+    from ..kmers.coverage_model import GenomicInfo
+    data = np.load(path)
+    g = Graph(
+        seq_flat=jnp.asarray(data["seq_flat"]),
+        seq_start=jnp.asarray(data["seq_start"]),
+        seq_len=jnp.asarray(data["seq_len"]),
+        cov=jnp.asarray(data["cov"]),
+        start_v=jnp.asarray(data["start_v"]),
+        end_v=jnp.asarray(data["end_v"]),
+        conj=jnp.asarray(data["conj"]),
+        alive=jnp.asarray(data["alive"]),
+        num_edges=jnp.asarray(data["num_edges"]),
+        k=k,
+        flank=jnp.asarray(data["flank"]) if "flank" in data else None)
+    ginfo = GenomicInfo(**json.loads(bytes(data["ginfo_json"])))
+    g, v_space = compact_graph(g)
+    return g, v_space, ginfo
+
+
+def clear_phase_presimplify(phase_dir: str, k: int) -> None:
+    import os
+    try:
+        os.remove(_phase_path(phase_dir, k))
+    except OSError:
+        pass
+
+
 def assemble_single_k(codes, lengths, k: int,
                       cfg: runner.SimplifyConfig | None = None,
                       min_contig_length: int | None = None,
@@ -203,7 +276,8 @@ def assemble_single_k(codes, lengths, k: int,
                       extra_sequences: list[str] | None = None,
                       restricted_sequences: list[str] | None = None,
                       uneven_depth: bool = False,
-                      early_tip_clip: bool = True) -> AssemblyResult:
+                      early_tip_clip: bool = True,
+                      phase_dir: str | None = None) -> AssemblyResult:
     """Assemble one read batch at a single K.
 
     Args:
@@ -229,7 +303,13 @@ def assemble_single_k(codes, lengths, k: int,
     from ..graph.graph import compact_graph
     from ..parallel import mesh as mesh_mod
     mesh = mesh_mod.auto_mesh()
-    if mesh is not None:
+    loaded = (_load_phase_presimplify(phase_dir, k)
+              if phase_dir else None)
+    if loaded is not None:
+        g, v_space, ginfo = loaded
+        _log.info(f"k{k}: resumed from pre-simplify phase checkpoint "
+                  f"(E2={g.capacity})")
+    elif mesh is not None:
         # Construction sharded over the device mesh.  The coverage-model
         # fit and cov-cutoff resolution see the same read spectrum as
         # the single-device path below.
@@ -302,7 +382,7 @@ def assemble_single_k(codes, lengths, k: int,
             # with edge capacity, not with the (k+1)-mer table
             g, v_space = compact_graph(g)
 
-    if uneven_depth:
+    if uneven_depth and loaded is None:
         # meta/MDA: the spectrum mixture fit is unreliable under uneven
         # depth; use the graph-based threshold finder instead
         # (genomic_info_filler.cpp:31-45, ec_threshold_finder.hpp:25)
@@ -310,6 +390,10 @@ def assemble_single_k(codes, lengths, k: int,
         import dataclasses
         ginfo = dataclasses.replace(
             ginfo, ec_bound=ec_threshold.uneven_ec_bound(g))
+
+    if phase_dir and loaded is None:
+        with _scope("phase_checkpoint", k=k):
+            _save_phase_presimplify(phase_dir, k, g, v_space, ginfo)
 
     # Simplification; restricted sequences (blackbird fork /
     # biosyntheticSPAdes, restricted_edges_filling.cpp:16-41) protect
@@ -322,9 +406,20 @@ def assemble_single_k(codes, lengths, k: int,
         def protected_fn(gr):
             return jnp.asarray(
                 bio.fill_restricted_edges(gr, restricted_sequences))
+    # ops forensics for the remote compile service: the simplify
+    # programs at multi-Mb capacity buckets are where dropped compile
+    # requests concentrate (NOTES_ROUND5.md) — log the exact static
+    # shape so a stall can be reproduced/pre-warmed out of process
+    _log.info(
+        f"simplify entry shapes: E2={g.capacity} "
+        f"flat={g.seq_flat.shape[0]} V={v_space} k={k} "
+        f"flank={'yes' if g.flank is not None else 'no'} "
+        f"ec_bound={float(ginfo.ec_bound):.3f}")
     with _scope("simplify", k=k):
         g = runner.simplify_graph(g, v_space, ginfo.ec_bound, cfg,
                                   protected_fn=protected_fn)
+    if phase_dir:
+        clear_phase_presimplify(phase_dir, k)
 
     if min_contig_length is None:
         min_contig_length = 2 * k

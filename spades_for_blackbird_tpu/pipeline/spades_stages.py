@@ -150,7 +150,7 @@ def make_ion_error_correction(log, output_dir: str | None = None):
 
 
 def make_iteration(k: int, log, min_contig_length=None, simplify_cfg=None,
-                   name=None, min_kmer_count=1):
+                   name=None, min_kmer_count=1, output_dir=None):
     def run(ctx: PipelineContext):
         from . import assemble
         from ..simplify import runner
@@ -162,7 +162,9 @@ def make_iteration(k: int, log, min_contig_length=None, simplify_cfg=None,
             ctx.codes, ctx.lengths, k, cfg=cfg,
             min_contig_length=min_contig_length,
             min_kmer_count=min_kmer_count,
-            extra_sequences=[s for s, _ in ctx.contigs])
+            extra_sequences=[s for s, _ in ctx.contigs],
+            phase_dir=(os.path.join(output_dir, "saves", "phases")
+                       if output_dir else None))
         ctx.contigs = res.contigs
         ctx.graph = res.graph
         ctx.genomic_info = res.genomic_info
@@ -576,7 +578,8 @@ def build_stage_list(args, ks, log, cfg=None):
         for k in ks:
             stages.append(make_iteration(
                 k, log, min_contig_length=args.min_contig_length,
-                simplify_cfg=cfg.simplify, min_kmer_count=min_kc))
+                simplify_cfg=cfg.simplify, min_kmer_count=min_kc,
+                output_dir=args.output_dir))
     if getattr(args, "ss", None) and cfg.strand_specific:
         stages.append(make_ss_edge_split(args.ss, log))
     if pe_pairs or mp_pairs or args.interlaced:

@@ -163,11 +163,11 @@ def supervise_cli(argv: list[str], *, max_attempts: int = 8,
         if attempt >= 3 and "SFB_COUNT_CHUNK_LOG2" not in os.environ:
             # rotate 19, 18, 20, 19, 18, ...
             env["SFB_COUNT_CHUNK_LOG2"] = [19, 18, 20][(attempt - 3) % 3]
-        if attempt >= 4 and "SFB_CAP_BUMP" not in os.environ:
+        if attempt >= 2 and "SFB_CAP_BUMP" not in os.environ:
             # graph-capacity bucket bump: a stage-graph (simplify /
             # condense) compile whose request the service dropped gets
             # re-requested under a different shape
-            env["SFB_CAP_BUMP"] = [1, 0, 2][(attempt - 4) % 3]
+            env["SFB_CAP_BUMP"] = [1, 2, 0, 3][(attempt - 2) % 4]
         return env
 
     return run_supervised(build_cmd, max_attempts=max_attempts,
