@@ -48,8 +48,8 @@ def main():
             "-o", RUN_DIR, "--trace-time"]
     if os.path.isdir(os.path.join(RUN_DIR, "saves")):
         argv.append("--continue")
-    rc = supervise_cli(argv, max_attempts=14, stall_s=1500.0,
-                       cooldown_s=300.0)
+    rc = supervise_cli(argv, max_attempts=30, stall_s=300.0,
+                       cooldown_s=420.0)
     t_asm = time.time() - t0
     if rc != 0:
         blob = json.dumps({"ok": False, "rc": rc,
