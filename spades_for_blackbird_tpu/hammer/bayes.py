@@ -529,65 +529,85 @@ def subcluster_kmers_chunked(kmers, counts, num, stats: KmerQualStats,
     iterating cluster blocks).
     """
     import numpy as np
+    from ..ops import chunking
     N = kmers.shape[0]
     if N <= chunk:
         return subcluster_kmers(kmers, counts, num, stats, rep, k,
                                 max_l=max_l, em_iters=em_iters)
     n = int(num)
-    rep_h = np.asarray(rep)[:n]
-    counts_h = np.asarray(counts)
-    order = np.lexsort((np.arange(n), -counts_h[:n], rep_h))
-    srep = rep_h[order]
-    starts = np.nonzero(np.concatenate([[True],
-                                        srep[1:] != srep[:-1]]))[0]
+    # cluster-sorted order ON DEVICE (the old path pulled the whole
+    # (N, k) quality matrix + keys to the host and pushed padded chunks
+    # back — GBs of device<->host traffic at multi-Mb scale; here the
+    # only transfers are the chunk boundaries, ~n/chunk ints)
+    idx = jnp.arange(N, dtype=jnp.int32)
+    valid = idx < n
+    repc = jnp.where(valid, rep, jnp.int32(2 ** 30))
+    order = jnp.lexsort((idx, -counts, repc))
+    srep = repc[order]
+    start_mask = jnp.concatenate([valid[:1],
+                                  (srep[1:] != srep[:-1]) & (idx[1:] < n)])
+    spos = jnp.nonzero(start_mask, size=N, fill_value=N)[0]
     bounds = [0]
     while bounds[-1] < n:
-        target = bounds[-1] + chunk
-        if target >= n:
+        t = bounds[-1] + chunk
+        if t >= n:
             bounds.append(n)
             break
-        j = int(np.searchsorted(starts, target, side="right")) - 1
-        cut = int(starts[j])
+        j = int(jnp.searchsorted(spos, jnp.int32(t), side="right")) - 1
+        cut = int(spos[max(j, 0)])             # scalar pull per chunk
         if cut <= bounds[-1]:      # one cluster larger than the chunk
-            cut = target
-        bounds.append(cut)
+            cut = t
+        bounds.append(min(cut, n))
 
-    kmers_h = np.asarray(kmers)
-    lq_h = np.asarray(stats.total_lq)
-    qs_h = np.asarray(stats.qual_sum)
+    # gather once into cluster order on device; pad one chunk of tail
+    def ordered_padded(a, fill=0):
+        out = a[order]
+        pad_width = ((0, chunk),) + ((0, 0),) * (a.ndim - 1)
+        return jnp.pad(out, pad_width,
+                       constant_values=jnp.asarray(fill, dtype=a.dtype))
 
-    solid = np.zeros(N, bool)
-    is_center = np.zeros(N, bool)
-    center_bases = np.zeros((N, k), np.uint8)
-    rep_out = np.full(N, N, np.int64)
+    kmers_o = ordered_padded(kmers, 0xFFFFFFFF)
+    counts_o = ordered_padded(counts)
+    lq_o = ordered_padded(stats.total_lq)
+    qs_o = ordered_padded(stats.qual_sum)
+    rep_o = ordered_padded(jnp.where(valid, rep, 0))
+    order_p = jnp.pad(order, (0, chunk), constant_values=N)
+
+    solid = jnp.zeros(N, bool)
+    is_center = jnp.zeros(N, bool)
+    center_bases = jnp.zeros((N, k), jnp.uint8)
+    rep_out = jnp.full(N, N, jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=(),
+                       donate_argnums=(7, 8, 9, 10))
+    def run_chunk(ko, co, lo_, qo, ro, op, start, solid, is_center,
+                  center_bases, rep_out, m):
+        kc = jax.lax.dynamic_slice_in_dim(ko, start, chunk)
+        cc = jax.lax.dynamic_slice_in_dim(co, start, chunk)
+        lc = jax.lax.dynamic_slice_in_dim(lo_, start, chunk)
+        qc = jax.lax.dynamic_slice_in_dim(qo, start, chunk)
+        rc = jax.lax.dynamic_slice_in_dim(ro, start, chunk)
+        oc = jax.lax.dynamic_slice_in_dim(op, start, chunk)
+        sub = subcluster_kmers(
+            kc, cc, m, KmerQualStats(total_lq=lc, qual_sum=qc), rc, k,
+            max_l=max_l, em_iters=em_iters)
+        ok = jnp.arange(chunk) < m
+        dest = jnp.where(ok, oc, N)
+        solid = solid.at[dest].set(sub.solid, mode="drop")
+        is_center = is_center.at[dest].set(sub.is_center, mode="drop")
+        center_bases = center_bases.at[dest].set(sub.center_bases,
+                                                 mode="drop")
+        rep_out = rep_out.at[dest].set(rc, mode="drop")
+        return solid, is_center, center_bases, rep_out
 
     for lo, hi in zip(bounds[:-1], bounds[1:]):
-        rows = order[lo:hi]
-        m = hi - lo
-        pad = chunk - m
-        def padded(a, fill=0):
-            out = a[rows]
-            if pad > 0:
-                width = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
-                out = np.pad(out, width, constant_values=fill)
-            return out
-        sub = subcluster_kmers(
-            jnp.asarray(padded(kmers_h, fill=0xFFFFFFFF)),
-            jnp.asarray(padded(counts_h)),
-            jnp.int32(m),
-            KmerQualStats(total_lq=jnp.asarray(padded(lq_h)),
-                          qual_sum=jnp.asarray(padded(qs_h))),
-            jnp.asarray(padded(rep_h, fill=0)),
-            k, max_l=max_l, em_iters=em_iters)
-        solid[rows] = np.asarray(sub.solid)[:m]
-        is_center[rows] = np.asarray(sub.is_center)[:m]
-        center_bases[rows] = np.asarray(sub.center_bases)[:m]
-        rep_out[rows] = rep_h[order[lo:hi]]
+        solid, is_center, center_bases, rep_out = run_chunk(
+            kmers_o, counts_o, lq_o, qs_o, rep_o, order_p,
+            jnp.int32(lo), solid, is_center, center_bases, rep_out,
+            jnp.int32(hi - lo))
 
-    return SubClusters(solid=jnp.asarray(solid),
-                       is_center=jnp.asarray(is_center),
-                       center_bases=jnp.asarray(center_bases),
-                       rep=jnp.asarray(rep_out.astype(np.int32)))
+    return SubClusters(solid=solid, is_center=is_center,
+                       center_bases=center_bases, rep=rep_out)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

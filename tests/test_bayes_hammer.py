@@ -180,3 +180,44 @@ def test_chunked_stats_match_single_shot():
     np.testing.assert_allclose(np.asarray(s1.total_lq[:n]),
                                np.asarray(s3.total_lq[:n]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_chunked_subcluster_matches_single_shot():
+    """Device-side chunked subclustering (cluster-aligned traced-offset
+    windows, no host round trips) must equal the one-shot EM."""
+    import jax.numpy as jnp
+    from spades_for_blackbird_tpu.hammer import bayes
+    from spades_for_blackbird_tpu.hammer.cluster import cluster_kmers
+    from spades_for_blackbird_tpu.ops import dna
+
+    k = 21
+    rng = np.random.default_rng(29)
+    genome = "".join(rng.choice(list("ACGT"), size=500))
+    reads = []
+    for _ in range(120):
+        s = int(rng.integers(0, len(genome) - 60))
+        r = list(genome[s:s + 60])
+        if rng.random() < 0.7:
+            p = int(rng.integers(0, 60))
+            r[p] = "ACGT"[int(rng.integers(0, 4))]
+        reads.append("".join(r))
+    codes, lengths = dna.encode_reads(reads)
+    quals = rng.integers(35, 74, codes.shape).astype(np.uint8)
+    table, qstats = bayes.count_kmers_stats(
+        jnp.asarray(codes), jnp.asarray(lengths), jnp.asarray(quals), k)
+    table, qstats = bayes._trim_stats(table, qstats)
+    clusters = cluster_kmers(table.kmers, table.counts, table.num, k,
+                             jnp.int32(2 ** 30), jnp.float32(0.0))
+
+    ref = bayes.subcluster_kmers(table.kmers, table.counts, table.num,
+                                 qstats, clusters.rep, k)
+    got = bayes.subcluster_kmers_chunked(
+        table.kmers, table.counts, table.num, qstats, clusters.rep, k,
+        chunk=64)
+    n = int(table.num)
+    np.testing.assert_array_equal(np.asarray(ref.solid[:n]),
+                                  np.asarray(got.solid[:n]))
+    np.testing.assert_array_equal(np.asarray(ref.is_center[:n]),
+                                  np.asarray(got.is_center[:n]))
+    np.testing.assert_array_equal(np.asarray(ref.center_bases[:n]),
+                                  np.asarray(got.center_bases[:n]))
