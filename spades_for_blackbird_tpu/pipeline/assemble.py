@@ -37,7 +37,11 @@ def _windows_from_sequences(seqs: list[str], width: int, k: int):
     """Chop sequences into overlapping windows of ``width`` so every
     k-mer of each sequence appears in EXACTLY one window's extraction:
     a window starting at w yields k-mer starts [w, w+width-k], so the
-    stride is width-k+1 (contiguous, non-overlapping start ranges)."""
+    stride is width-k+1 (contiguous, non-overlapping start ranges).
+
+    The row count is padded to a power of two (empty rows, length 0):
+    otherwise every K iteration presents a unique (R, L) shape and the
+    per-K contig counting pays a fresh remote compile each time."""
     rows = []
     stride = max(1, width - k + 1)
     for s in seqs:
@@ -46,7 +50,17 @@ def _windows_from_sequences(seqs: list[str], width: int, k: int):
             continue
         for lo in range(0, len(s) - k + 1, stride):
             rows.append(s[lo:lo + width])
-    return dna.encode_reads(rows)
+    codes, lengths = dna.encode_reads(rows)
+    R, L = codes.shape
+    if L < width:  # all rows short: stabilize the column count too
+        codes = np.pad(codes, ((0, 0), (0, width - L)),
+                       constant_values=4)
+    R2 = 1 << max(4, (R - 1).bit_length())
+    if R2 != R:
+        codes = np.pad(codes, ((0, R2 - R), (0, 0)),
+                       constant_values=4)
+        lengths = np.pad(lengths, (0, R2 - R))
+    return codes, lengths
 
 
 def _kmer_hash_np(words: np.ndarray) -> np.ndarray:
