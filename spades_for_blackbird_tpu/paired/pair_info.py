@@ -148,25 +148,63 @@ def _chain_slice(ch, lo: int, hi: int, chunk: int):
     return type(ch)(**out)
 
 
+@jax.jit
+def _merge_raw_pair_tables(a: PairedIndex, b: PairedIndex) -> PairedIndex:
+    """Merge two sorted unique raw (e1, e2, d) tables ON DEVICE,
+    summing weights of identical rows (counter.merge_tables for paired
+    info — the host merge pulls every chunk's columns over the tunnel's
+    device->host path)."""
+    keys = jnp.concatenate([
+        jnp.stack([a.e1.astype(jnp.uint32), a.e2.astype(jnp.uint32),
+                   (a.dist + _DIST_BIAS).astype(jnp.uint32)], axis=1),
+        jnp.stack([b.e1.astype(jnp.uint32), b.e2.astype(jnp.uint32),
+                   (b.dist + _DIST_BIAS).astype(jnp.uint32)], axis=1)])
+    weights = jnp.concatenate([a.weight, b.weight])
+    valid = jnp.concatenate([
+        jnp.arange(a.e1.shape[0]) < a.num,
+        jnp.arange(b.e1.shape[0]) < b.num])
+    uniq, wsum, num = segments.count_sorted(keys, valid, weights)
+    return PairedIndex(
+        e1=uniq[:, 0].astype(jnp.int32),
+        e2=uniq[:, 1].astype(jnp.int32),
+        dist=uniq[:, 2].astype(jnp.int32) - _DIST_BIAS,
+        weight=wsum.astype(jnp.float32),
+        num=num,
+    )
+
+
+def _trim_pair_table(idx: PairedIndex) -> PairedIndex:
+    """Trim capacity to pow2(num) so accumulator merge shapes bucket."""
+    cap = 1 << max(1, int(idx.num) - 1).bit_length()
+    cap = min(cap, idx.e1.shape[0])
+    return PairedIndex(e1=idx.e1[:cap], e2=idx.e2[:cap],
+                       dist=idx.dist[:cap], weight=idx.weight[:cap],
+                       num=idx.num,
+                       var=idx.var[:cap] if idx.var is not None else None)
+
+
 def fill_paired_index_multi_chunked(ch1, ch2, is_shift: jax.Array,
                                     chunk: int = 1 << 16) -> PairedIndex:
     """`fill_paired_index_multi` over fixed-size read-pair chunks.
 
     Each chunk compiles once and bounds the (R*C*C)-row sort; chunk
-    results (already unique+counted) merge host-side with weight
-    summation. This is the out-of-core paired-info path the reference
-    gets from its chunked binary readers (pair_info_count.cpp processing
-    libraries in streams)."""
+    results (already unique+counted) merge pairwise ON DEVICE with
+    weight summation. This is the out-of-core paired-info path the
+    reference gets from its chunked binary readers (pair_info_count.cpp
+    processing libraries in streams)."""
     R = ch1.oriented_edge.shape[0]
     if R <= chunk:
         return fill_paired_index_multi(ch1, ch2, is_shift)
-    parts = []
+    table = None
     for lo in range(0, R, chunk):
         hi = min(lo + chunk, R)
         c1 = _chain_slice(ch1, lo, hi, chunk)
         c2 = _chain_slice(ch2, lo, hi, chunk)
-        parts.append(fill_paired_index_multi(c1, c2, is_shift))
-    return merge_paired_indices(parts)
+        part = _trim_pair_table(
+            fill_paired_index_multi(c1, c2, is_shift))
+        table = part if table is None else _trim_pair_table(
+            _merge_raw_pair_tables(table, part))
+    return table
 
 
 @jax.jit

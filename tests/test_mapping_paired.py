@@ -152,3 +152,36 @@ def test_paired_index_two_edges_distance():
     # dominant inter-edge point: e2 starts 300 right of e1 start
     i = np.argmax(np.where(inter, w, 0))
     assert d[i] == pytest.approx(300, abs=2)
+
+
+def test_chunked_pair_fill_matches_single_shot():
+    """Device-merged chunked pair filling must reproduce the one-shot
+    index (pair_info_count.cpp streamed-libraries semantics)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from spades_for_blackbird_tpu.mapping import mapper
+    from spades_for_blackbird_tpu.paired import pair_info
+
+    rng = np.random.default_rng(7)
+    R, C = 300, 3
+    def chains(seed):
+        r = np.random.default_rng(seed)
+        return mapper.ChainMapping(
+            oriented_edge=jnp.asarray(
+                r.integers(0, 12, (R, C)).astype(np.int32)),
+            start=jnp.asarray(r.integers(0, 500, (R, C)).astype(np.int32)),
+            votes=jnp.asarray(np.full((R, C), 5, np.int32)),
+            chain_len=jnp.asarray(np.full((R,), C, np.int32)),
+            mapped=jnp.asarray(r.random(R) < 0.9))
+    ch1, ch2 = chains(1), chains(2)
+    one = pair_info.fill_paired_index_multi(ch1, ch2, jnp.int32(150))
+    chunked = pair_info.fill_paired_index_multi_chunked(
+        ch1, ch2, jnp.int32(150), chunk=64)
+    n = int(one.num)
+    assert int(chunked.num) == n
+    for f in ("e1", "e2", "dist"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(one, f)[:n]),
+            np.asarray(getattr(chunked, f)[:n]), err_msg=f)
+    np.testing.assert_allclose(np.asarray(one.weight[:n]),
+                               np.asarray(chunked.weight[:n]), rtol=1e-6)
