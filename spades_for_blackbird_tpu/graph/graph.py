@@ -101,6 +101,43 @@ def edge_mask(g: Graph) -> jax.Array:
     return g.alive & (jnp.arange(g.capacity) < g.num_edges)
 
 
+def slot_owner(seq_start: jax.Array, m: jax.Array,
+               flat_cap: int) -> jax.Array:
+    """Owning edge of every flat sequence slot: (FLAT,) int32, -1 where
+    no alive edge's start precedes the slot.
+
+    Relies on the layout invariant (alive edges' seq_start ascend with
+    edge id). Previously a start-marker max-``associative_scan`` over
+    the flat axis — the tunneled TPU compiler never finishes compiling
+    ``lax.associative_scan`` at >= 2^22 elements (its recursive
+    odd/even decomposition; NOTES_ROUND5.md), which blocked every
+    4.6 Mb-scale recondense/index build. A dense-ranked start table +
+    vectorized binary search (log2 E gather rounds, the same pattern as
+    ops/segments.searchsorted_rows) compiles in seconds at any size.
+    """
+    E = seq_start.shape[0]
+    idx = jnp.arange(E, dtype=jnp.int32)
+    rank = jnp.cumsum(m.astype(jnp.int32)) - 1
+    dest = jnp.where(m, rank, E)
+    dense_start = jnp.full((E,), flat_cap, jnp.int32).at[dest].set(
+        jnp.where(m, seq_start, flat_cap), mode="drop")
+    dense_edge = jnp.full((E,), -1, jnp.int32).at[dest].set(
+        idx, mode="drop")
+    slots = jnp.arange(flat_cap, dtype=jnp.int32)
+    lo = jnp.zeros((flat_cap,), jnp.int32)
+    hi = jnp.full((flat_cap,), E, jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        right = dense_start[jnp.minimum(mid, E - 1)] <= slots
+        return jnp.where(right, mid + 1, lo), jnp.where(right, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, max(1, E.bit_length()), body, (lo, hi))
+    j = lo - 1
+    return jnp.where(j >= 0, dense_edge[jnp.clip(j, 0, E - 1)], -1)
+
+
 def degrees(g: Graph, v_space: int) -> tuple[jax.Array, jax.Array]:
     """(out_deg, in_deg) arrays of size v_space over alive edges."""
     m = edge_mask(g)

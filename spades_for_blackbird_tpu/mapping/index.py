@@ -46,12 +46,10 @@ def build_edge_index(g: Graph, k: int) -> EdgeKmerIndex:
     E = g.capacity
     m = edge_mask(g)
 
-    # ownership of each flat slot (forward max-scan over start markers,
-    # relies on the id-order == position-order layout invariant)
-    slot_mark = jnp.full((FLAT,), -1, jnp.int32).at[
-        jnp.where(m, g.seq_start, FLAT)].max(
-        jnp.arange(E, dtype=jnp.int32), mode="drop")
-    slot_edge = jax.lax.associative_scan(jnp.maximum, slot_mark)
+    # ownership of each flat slot (scan-free binary search over the
+    # id-order == position-order layout invariant; graph.py slot_owner)
+    from ..graph.graph import slot_owner
+    slot_edge = slot_owner(g.seq_start, m, FLAT)
     se = jnp.maximum(slot_edge, 0)
     pos_in_edge = jnp.arange(FLAT) - g.seq_start[se]
     # a k-mer starting at this slot stays within its edge

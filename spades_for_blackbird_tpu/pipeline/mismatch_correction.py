@@ -52,10 +52,8 @@ def _fix(g: Graph, votes):
     # conjugate fold: flat slot p of edge E maps to slot
     # seq_start[conj] + (len - 1 - pos_in_edge) with complemented bases.
     m = edge_mask(g)
-    slot_mark = jnp.full((FLAT,), -1, jnp.int32).at[
-        jnp.where(m, g.seq_start, FLAT)].max(
-        jnp.arange(E, dtype=jnp.int32), mode="drop")
-    slot_edge = jax.lax.associative_scan(jnp.maximum, slot_mark)
+    from ..graph.graph import slot_owner
+    slot_edge = slot_owner(g.seq_start, m, FLAT)
     se = jnp.maximum(slot_edge, 0)
     pie = jnp.arange(FLAT) - g.seq_start[se]
     slot_ok = (slot_edge >= 0) & m[se] & (pie >= 0) & (pie < g.seq_len[se])

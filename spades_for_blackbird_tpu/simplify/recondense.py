@@ -103,10 +103,10 @@ def recondense(g: Graph, v_space: int) -> Graph:
     csum = jnp.cumsum(new_len_if)
     new_seq_start = jnp.where(survives, csum - new_len_if, 0)
 
-    # map every old flat slot -> owning edge via forward max-scan
-    slot_mark = jnp.full((FLAT,), -1, jnp.int32).at[
-        jnp.where(m, g.seq_start, FLAT)].max(idx, mode="drop")
-    slot_edge = jax.lax.associative_scan(jnp.maximum, slot_mark)
+    # map every old flat slot -> owning edge (scan-free; graph.py
+    # slot_owner — associative_scan never compiles at multi-Mb FLAT)
+    from ..graph.graph import slot_owner
+    slot_edge = slot_owner(g.seq_start, m, FLAT)
     se = jnp.maximum(slot_edge, 0)
     pos_in_edge = jnp.arange(FLAT) - g.seq_start[se]
     in_edge = (slot_edge >= 0) & (pos_in_edge >= 0) & \

@@ -72,8 +72,11 @@ def test_golden_saves(tmp_path):
     assert rc == 0
 
     saves = out / "saves"
+    # stage checkpoints only: saves/phases holds intra-stage phase
+    # checkpoints (pre_simplify_k*.npz), not stage packs
     stages = sorted(d for d in os.listdir(saves)
-                    if os.path.isdir(saves / d))
+                    if os.path.isdir(saves / d)
+                    and os.path.exists(saves / d / "pack.npz"))
     assert stages, "no stage saves written"
     got = {s: _fingerprint_stage(str(saves / s)) for s in stages}
 
