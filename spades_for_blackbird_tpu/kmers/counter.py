@@ -40,7 +40,16 @@ def count_kmers(codes: jax.Array, lengths: jax.Array, k: int) -> KmerTable:
     """Count canonical k-mers of a read batch (single shard)."""
     # all-ones is unreachable for real k-mers when pad bits exist
     sentinel_safe = (k % dna.BASES_PER_WORD) != 0
-    if jax.default_backend() == "tpu" and sentinel_safe:
+    # Pallas extraction only for <= 3-word k-mers: at W=4 (k in 49..64,
+    # the k=55 ladder rung counting 56-mers) the Mosaic kernel crashes
+    # the TPU worker at production chunk shapes ("TPU worker process
+    # crashed... kernel fault", reproduced twice at 4.6 Mb, both 2^19
+    # and 2^20 read chunks). The XLA extraction path is result-
+    # identical and within ~2x; W<=3 covers k<=48 where the counting
+    # volume actually concentrates.
+    use_pallas = (jax.default_backend() == "tpu" and sentinel_safe
+                  and dna.words_per_kmer(k) <= 3)
+    if use_pallas:
         # fused Pallas extraction in column layout: one HBM pass for the
         # windows, sort operands are the columns (no row interleave)
         from ..ops import kmer_pallas
