@@ -76,9 +76,30 @@ def kplus1_prefix_suffix(kp1: jax.Array, k: int
     """
     first = dna.kmer_first_base(kp1, k + 1)
     last = dna.kmer_last_base(kp1, k + 1)
-    codes = dna.unpack_kmers(kp1, k + 1)        # (N, k+1)
-    prefix = dna.pack_kmers(codes[:, :k], k)
-    suffix = dna.pack_kmers(codes[:, 1:], k)
+    # word-level bit surgery instead of unpack->slice->repack: the
+    # unpacked (N, 16*W1) uint32 intermediates are ~64 bytes/row x two
+    # packs — multi-GB device temporaries at multi-Mb (k+1)-mer tables
+    # (the k55 rung's W=4 build crashed the remote TPU worker on them).
+    # Layout (ops/dna.pack_kmers): base j of word w at bits
+    # (15 - j) * 2 .. +1, base 0 in the high bits, pad bases zero.
+    import numpy as np
+    W = dna.words_per_kmer(k)
+    keep = np.minimum(np.maximum(k - dna.BASES_PER_WORD
+                                 * np.arange(W), 0),
+                      dna.BASES_PER_WORD)
+    mask = jnp.asarray(np.array(
+        [0xFFFFFFFF if kp == dna.BASES_PER_WORD
+         else ((0xFFFFFFFF << (32 - 2 * int(kp))) & 0xFFFFFFFF)
+         for kp in keep], dtype=np.uint32))
+    # prefix = first k bases: original words masked to k bases
+    prefix = kp1[..., :W] & mask
+    # suffix = bases 1..k: 2-bit left shift with cross-word carry
+    nxt = jnp.concatenate(
+        [kp1[..., 1:],
+         jnp.zeros(kp1.shape[:-1] + (1,), jnp.uint32)], axis=-1)
+    shifted = ((kp1 << jnp.uint32(2))
+               | (nxt >> jnp.uint32(30))).astype(jnp.uint32)
+    suffix = shifted[..., :W] & mask
     return prefix, suffix, first, last
 
 
