@@ -103,6 +103,44 @@ def build_graph(kp1_table: KmerTable, vt: extension.VertexTable, k: int
                                     ov_start, ov_end, k)
 
 
+def _scatter_unitig_bases(ori: jax.Array, start_pos: jax.Array, k: int,
+                          flat_cap: int) -> jax.Array:
+    """Scatter each oriented instance's k+1 bases into the flat sequence
+    pool at start_pos[o] + j (dropped where start_pos == flat_cap).
+
+    Single-shot, the (O, k+1) int32 position tensor plus the unpacked
+    (O, k+1) codes are the construction peak — 4.7 GB at the 4.6 Mb
+    k55 rung (O = 11.8M), on top of the table/vertex arrays already
+    resident. Chunking the O axis through a fori_loop caps the
+    per-step temporaries at ~the chunk size while writing the same
+    bytes (overlapping writes agree, so split order is irrelevant).
+    """
+    O = ori.shape[0]
+    W1 = ori.shape[1]
+    out = jnp.zeros((flat_cap,), jnp.uint8)
+    CHUNK = 1 << 20
+    if O <= CHUNK:
+        codes = dna.unpack_kmers(ori, k + 1)
+        base_pos = start_pos[:, None] + jnp.arange(k + 1)[None, :]
+        base_pos = jnp.where(start_pos[:, None] >= flat_cap, flat_cap,
+                             base_pos)
+        return out.at[base_pos].set(codes, mode="drop")
+    n_chunks = -(-O // CHUNK)
+    pad = n_chunks * CHUNK - O
+    ori_p = jnp.pad(ori, ((0, pad), (0, 0)))
+    start_p = jnp.pad(start_pos, (0, pad), constant_values=flat_cap)
+
+    def body(i, acc):
+        o = jax.lax.dynamic_slice(ori_p, (i * CHUNK, 0), (CHUNK, W1))
+        s = jax.lax.dynamic_slice(start_p, (i * CHUNK,), (CHUNK,))
+        codes = dna.unpack_kmers(o, k + 1)
+        pos = s[:, None] + jnp.arange(k + 1)[None, :]
+        pos = jnp.where(s[:, None] >= flat_cap, flat_cap, pos)
+        return acc.at[pos].set(codes, mode="drop")
+
+    return jax.lax.fori_loop(0, n_chunks, body, out)
+
+
 def contract_and_materialize(ori: jax.Array, ovalid: jax.Array,
                              succ: jax.Array, o_counts: jax.Array,
                              ov_start: jax.Array, ov_end: jax.Array,
@@ -154,12 +192,9 @@ def contract_and_materialize(ori: jax.Array, ovalid: jax.Array,
     seq_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(seq_len)[:-1]])
     flat_cap = O * (k + 1)
-    codes = dna.unpack_kmers(ori, k + 1)         # (O, k+1) uint8
-    base_pos = (seq_start[jnp.minimum(uid, O - 1)] + off)[:, None] + \
-        jnp.arange(k + 1)[None, :]
-    base_pos = jnp.where(ovalid[:, None], base_pos, flat_cap)
-    seq_flat = jnp.zeros((flat_cap,), jnp.uint8).at[base_pos].set(
-        codes, mode="drop")
+    start_pos = jnp.where(
+        ovalid, seq_start[jnp.minimum(uid, O - 1)] + off, flat_cap)
+    seq_flat = _scatter_unitig_bases(ori, start_pos, k, flat_cap)
 
     start_v = ov_start[jnp.minimum(start_node, O - 1)]
     end_v = ov_end[jnp.minimum(last_node, O - 1)]

@@ -30,7 +30,7 @@ def graph_from_reads(codes, lengths, k: int, min_count: int = 1) -> Graph:
     kp1 = counter.count_kmers(codes, lengths, k + 1)
     if min_count > 1:
         kp1 = counter.filter_min_count(kp1, min_count)
-    vt = extension.build_vertex_table(kp1, k)
+    vt = extension.trim_vertex_table(extension.build_vertex_table(kp1, k))
     return condense.build_graph(kp1, vt, k)
 
 

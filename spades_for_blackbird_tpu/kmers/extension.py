@@ -146,3 +146,16 @@ def build_vertex_table(kp1_table: KmerTable, k: int) -> VertexTable:
     out_mask = jnp.sum(bits[:, :4] * weights, axis=1).astype(jnp.uint8)
     in_mask = jnp.sum(bits[:, 4:] * weights, axis=1).astype(jnp.uint8)
     return VertexTable(uniq, out_mask, in_mask, num)
+
+
+def trim_vertex_table(vt: VertexTable) -> VertexTable:
+    """Trim capacity to pow2(num): build_vertex_table leaves the table
+    at 2E rows (both halves of every (k+1)-mer), ~2.6x the real vertex
+    count — at the 4.6 Mb k55 rung that is a 33.6M-row table whose
+    capacity every downstream oriented-junction array (VSP grouping in
+    early tips, binary-search depth) scales with. One host sync, same
+    real rows (count_sorted keeps all-ones padding sorted last)."""
+    cap = 1 << max(1, int(vt.num) - 1).bit_length()
+    cap = min(cap, vt.capacity)
+    return VertexTable(vt.kmers[:cap], vt.out_mask[:cap],
+                       vt.in_mask[:cap], vt.num)

@@ -103,7 +103,8 @@ def _early_tips_sharded(mesh, kk, cc, nn, k: int, read_length: int):
                            constant_values=np.iinfo(np.uint32).max)),
         jnp.asarray(np.pad(cnts, (0, cap - num)).astype(np.int32)),
         jnp.int32(num))
-    vt = extension.build_vertex_table(table, k)
+    vt = extension.trim_vertex_table(
+        extension.build_vertex_table(table, k))
     table, n_tips = early_tips.clip_early_tips(
         table, vt, k, read_length - k)
     if not n_tips:
@@ -376,7 +377,8 @@ def assemble_single_k(codes, lengths, k: int,
         from ..kmers import extension
         from ..graph import condense
         with _scope("vertex_table", k=k):
-            vt = extension.build_vertex_table(kp1, k)
+            vt = extension.trim_vertex_table(
+                extension.build_vertex_table(kp1, k))
         if early_tip_clip and read_length > k + 1:
             # pre-graph tip clipping on the extension index shrinks the
             # error (k+1)-mer table before graph capacity is committed
@@ -388,7 +390,8 @@ def assemble_single_k(codes, lengths, k: int,
                     kp1, vt, k, read_length - k)
                 if n_tips:
                     kp1 = counter.trim_table(kp1)
-                    vt = extension.build_vertex_table(kp1, k)
+                    vt = extension.trim_vertex_table(
+                        extension.build_vertex_table(kp1, k))
         with _scope("condense", k=k):
             g = condense.build_graph(kp1, vt, k)
             # trim the table-capacity-sized graph to compact power-of-two
