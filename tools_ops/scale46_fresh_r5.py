@@ -48,7 +48,10 @@ def main():
             "-o", RUN_DIR, "--trace-time"]
     if os.path.isdir(os.path.join(RUN_DIR, "saves")):
         argv.append("--continue")
-    rc = supervise_cli(argv, max_attempts=30, stall_s=300.0,
+    # stall_s: fresh-shape remote compiles run at zero client CPU for
+    # up to several minutes — with a cold on-disk cache every compile
+    # is fresh, so be patient before declaring a dropped request
+    rc = supervise_cli(argv, max_attempts=30, stall_s=480.0,
                        cooldown_s=420.0)
     t_asm = time.time() - t0
     if rc != 0:
